@@ -1,0 +1,244 @@
+"""BA problem model: SoA pytrees for cameras, points and observations.
+
+TPU-native replacement of the reference's AoS InputType
+(/root/reference/src/Optimization/BAFunctor.h:39-51: vectors of CameraMatrix /
+DistortionFunction objects + 3xM point matrix + weights). Here everything is a
+flat array pytree so the whole problem state can be traced through jit,
+donated between LM iterations, and sharded over a device mesh.
+
+Reference model conventions replicated exactly on ingestion
+(bundle_adjustment_large.cpp:57-108):
+  * measurements are divided by avg_focal_length (=1.0 by default, a no-op);
+  * K = diag(-f, -f, 1): NEGATIVE focal length encodes BAL's -z viewing
+    convention (bundle_adjustment_large.cpp:88-90);
+  * distortion coefficients are PRE-SCALED to (k1*f^2, k2*f^4)
+    (bundle_adjustment_large.cpp:97-98), so the implemented projection is
+    -f*(1 + k1 f^2 r^2 + k2 f^4 r^4)*xu, not textbook BAL;
+  * R = exp([omega]_x) with the 1e-6 small-angle cutoff (MathUtils.h:66-82).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundleadjustment_benchmarks_tpu.io import bal
+from bundleadjustment_benchmarks_tpu.ops import rodrigues
+
+#: Camera parameter ordering within a 9-vector step (BAFunctor.h:303-309):
+#: T(0:3), omega(3:6), f(6), k1(7), k2(8). Points come FIRST in the reference's
+#: global column ordering (cols [0, 3M) = points; BAFunctor.h:183-191).
+CAM_PARAMS = 9
+POINT_PARAMS = 3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BAState:
+    """Optimization variables (the reference InputType, as SoA arrays).
+
+    Attributes:
+      K: (N, 3, 3) intrinsic matrices; BAL gives diag(-f, -f, 1).
+      R: (N, 3, 3) world->camera rotations.
+      T: (N, 3) translations.
+      k1, k2: (N,) pre-scaled radial distortion coefficients.
+      points: (M, 3) world points.
+    """
+
+    K: jax.Array
+    R: jax.Array
+    T: jax.Array
+    k1: jax.Array
+    k2: jax.Array
+    points: jax.Array
+
+    @property
+    def n_cameras(self) -> int:
+        return self.T.shape[0]
+
+    @property
+    def n_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def focal(self) -> jax.Array:
+        """K(0,0) per camera — the reference getFocalLength (CameraMatrix.cpp:207)."""
+        return self.K[:, 0, 0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BAObservations:
+    """Measurement data (constant during optimization), sorted by point index.
+
+    Attributes:
+      cam_idx: (K,) int32.
+      pt_idx: (K,) int32, non-decreasing (sorted at load).
+      measurements: (K, 2), already divided by avg_focal_length.
+      weights: (K,) — carried for parity with the reference InputType
+        ("FixMe: Not used for now", BAFunctor.h:295,341); unused in the math.
+    """
+
+    cam_idx: jax.Array
+    pt_idx: jax.Array
+    measurements: jax.Array
+    weights: jax.Array
+
+    @property
+    def n_observations(self) -> int:
+        return self.cam_idx.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BAProblem:
+    """A full BA problem: state + observations + robust threshold + segment maps.
+
+    ``pt_obs_idx`` is a (M, Lmax) gather table mapping each point to the
+    observation rows that see it (padded with K, an out-of-range sentinel);
+    it feeds the batched per-point QR elimination (the TPU replacement for the
+    reference's BlockDiagonalSparseQR over CSC point columns).
+    """
+
+    state: BAState
+    obs: BAObservations
+    pt_obs_idx: jax.Array  # (M, Lmax) int32, padded with n_observations
+    pt_obs_count: jax.Array  # (M,) int32
+    inlier_threshold: float = dataclasses.field(metadata=dict(static=True))
+    avg_focal_length: float = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def tau2(self) -> float:
+        return self.inlier_threshold * self.inlier_threshold
+
+    @property
+    def n_cameras(self) -> int:
+        return self.state.n_cameras
+
+    @property
+    def n_points(self) -> int:
+        return self.state.n_points
+
+    @property
+    def n_observations(self) -> int:
+        return self.obs.n_observations
+
+    @property
+    def max_obs_per_point(self) -> int:
+        return self.pt_obs_idx.shape[1]
+
+
+def _point_segment_table(pt_idx: np.ndarray, n_points: int, pad_to: Optional[int]):
+    """Build the (M, Lmax) observation gather table from sorted pt_idx."""
+    counts = np.bincount(pt_idx, minlength=n_points).astype(np.int32)
+    lmax = int(counts.max()) if counts.size else 0
+    if pad_to is not None:
+        lmax = max(lmax, pad_to)
+    starts = np.zeros(n_points, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    k = pt_idx.shape[0]
+    table = np.full((n_points, max(lmax, 1)), k, dtype=np.int32)
+    ar = np.arange(k, dtype=np.int64)
+    # Position of each observation within its point segment.
+    pos = ar - starts[pt_idx]
+    table[pt_idx, pos] = ar.astype(np.int32)
+    return table, counts
+
+
+def from_bal_dataset(
+    ds: bal.BalDataset,
+    dtype=jnp.float64,
+    inlier_threshold: float = 0.5,
+    avg_focal_length: float = 1.0,
+) -> BAProblem:
+    """Build a BAProblem from raw BAL data, applying the reference conventions.
+
+    Observations are stably sorted by point index so each point's observations
+    form a contiguous segment (the BA analog of sequence-sorted sharding);
+    this reorders the residual vector relative to the reference, which changes
+    no sums/norms the algorithms consume.
+    """
+    order = np.argsort(ds.pt_idx, kind="stable")
+    cam_idx = ds.cam_idx[order]
+    pt_idx = ds.pt_idx[order]
+    meas = ds.measurements[order] / avg_focal_length
+
+    f = ds.focal / avg_focal_length
+    n = ds.n_cameras
+    K = np.zeros((n, 3, 3))
+    K[:, 0, 0] = -f
+    K[:, 1, 1] = -f
+    K[:, 2, 2] = 1.0
+    f_raw = ds.focal
+    k1 = ds.k1 * f_raw**2
+    k2 = ds.k2 * f_raw**4
+
+    R = np.asarray(rodrigues.exp_rodrigues(jnp.asarray(ds.omega, dtype=jnp.float64)))
+
+    state = BAState(
+        K=jnp.asarray(K, dtype),
+        R=jnp.asarray(R, dtype),
+        T=jnp.asarray(ds.translation, dtype),
+        k1=jnp.asarray(k1, dtype),
+        k2=jnp.asarray(k2, dtype),
+        points=jnp.asarray(ds.points, dtype),
+    )
+    obs = BAObservations(
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        measurements=jnp.asarray(meas, dtype),
+        weights=jnp.ones((cam_idx.shape[0],), dtype),
+    )
+    table, counts = _point_segment_table(pt_idx, ds.n_points, pad_to=None)
+    return BAProblem(
+        state=state,
+        obs=obs,
+        pt_obs_idx=jnp.asarray(table),
+        pt_obs_count=jnp.asarray(counts),
+        inlier_threshold=float(inlier_threshold),
+        avg_focal_length=float(avg_focal_length),
+    )
+
+
+def load_bal_problem(
+    path: str,
+    dtype=jnp.float64,
+    inlier_threshold: float = 0.5,
+    avg_focal_length: float = 1.0,
+) -> BAProblem:
+    """Read a BAL file and build the problem pytree (reference main():50-108)."""
+    return from_bal_dataset(
+        bal.read_bal(path),
+        dtype=dtype,
+        inlier_threshold=inlier_threshold,
+        avg_focal_length=avg_focal_length,
+    )
+
+
+def apply_step(state: BAState, dx_points: jax.Array, dx_cams: jax.Array) -> BAState:
+    """Manifold update — the reference update_params (BAFunctor.h:299-342).
+
+    dx_cams is (N, 9) ordered [dT(3), domega(3), df, dk1, dk2]; dx_points is
+    (M, 3). Semantics: T += dT; R <- exp([domega]_x) @ R0 (LEFT-multiplied
+    incremental Rodrigues); k1/k2 += d; K(0,0) and K(1,1) += df; points += dX.
+    """
+    dT = dx_cams[:, 0:3]
+    domega = dx_cams[:, 3:6]
+    df = dx_cams[:, 6]
+    dk1 = dx_cams[:, 7]
+    dk2 = dx_cams[:, 8]
+    dR = rodrigues.exp_rodrigues(domega)
+    eye_delta = jnp.zeros_like(state.K)
+    eye_delta = eye_delta.at[:, 0, 0].set(df).at[:, 1, 1].set(df)
+    return BAState(
+        K=state.K + eye_delta,
+        R=jnp.einsum("nij,njk->nik", dR, state.R),
+        T=state.T + dT,
+        k1=state.k1 + dk1,
+        k2=state.k2 + dk2,
+        points=state.points + dx_points,
+    )

@@ -1,0 +1,389 @@
+"""Distributed bundle adjustment: point/observation sharding over a device mesh.
+
+The reference has no distributed code (SURVEY.md section 2.4); its implicit
+data-level parallelism — M independent point blocks, K independent observation
+Jacobians — is exactly what shards here. Design (SURVEY.md sections 5, 7):
+
+  * one mesh axis ``obs``; POINTS are partitioned into contiguous chunks, and
+    because observations are sorted by point at ingestion, each point's
+    observations land on the same shard (the BA analog of sequence-sharded
+    context parallelism);
+  * camera state (9N params) is REPLICATED — the analog of replicated small
+    tensor-parallel matrices;
+  * per shard: residuals/Jacobian blocks, point factors V_p, couplings W_i,
+    and the local Schur contribution -Z_local^T Z_local are computed
+    independently; one ``psum`` over ``obs`` forms the 9N x 9N reduced camera
+    system (ICI all-reduce), which every device then solves redundantly
+    (cheaper than solving on one device + broadcast for these sizes);
+  * the camera step is already replicated after the solve; point
+    back-substitution is purely local. For the qrkit/spqr camera-QR path the
+    per-shard TSQR R factors are all-gathered and reduced — a distributed
+    tall-skinny QR.
+
+Padded observations/points are masked: their Jacobian blocks and residuals
+are zeroed, so they contribute nothing to any reduction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bundleadjustment_benchmarks_tpu.models import problem as problem_mod
+from bundleadjustment_benchmarks_tpu.ops import jacobian as jacobian_mod
+from bundleadjustment_benchmarks_tpu.ops import linalg, projection, robust
+from bundleadjustment_benchmarks_tpu.solvers import lm as lm_mod
+from bundleadjustment_benchmarks_tpu.solvers import schur
+
+AXIS = "obs"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedObservations:
+    """Per-shard padded observation data (global shape D*Ks along dim 0)."""
+
+    cam_idx: jax.Array  # (Kp,) int32, replicated camera index
+    pt_idx: jax.Array  # (Kp,) int32, LOCAL point index within the shard
+    measurements: jax.Array  # (Kp, 2)
+    weights: jax.Array  # (Kp,) 1.0 for real observations, 0.0 for padding
+
+    @property
+    def n_observations(self) -> int:
+        return self.cam_idx.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedProblem:
+    """A BAProblem re-laid-out for a mesh: sharded points/observations,
+    replicated cameras. Static geometry lives in meta fields."""
+
+    state: problem_mod.BAState  # cameras replicated; points (Mp, 3) sharded
+    obs: ShardedObservations
+    pt_obs_idx: jax.Array  # (Mp, Lmax) LOCAL obs row indices, sentinel = Ks
+    inlier_threshold: float = dataclasses.field(metadata=dict(static=True))
+    avg_focal_length: float = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    obs_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    points_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    n_points_global: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def tau2(self) -> float:
+        return self.inlier_threshold * self.inlier_threshold
+
+    @property
+    def n_cameras(self) -> int:
+        return self.state.n_cameras
+
+
+def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
+    """Partition a BAProblem across ``mesh``'s first axis.
+
+    Points are split into D contiguous chunks (observations are point-sorted,
+    so each shard's observations are one contiguous slice); both are padded to
+    static per-shard sizes; sharded arrays get NamedShardings so each device
+    holds only its slice.
+    """
+    d = mesh.devices.size
+    axis = mesh.axis_names[0]
+    pt_idx = np.asarray(problem.obs.pt_idx)
+    cam_idx = np.asarray(problem.obs.cam_idx)
+    meas = np.asarray(problem.obs.measurements)
+    points = np.asarray(problem.state.points)
+    m = problem.n_points
+    ms = -(-m // d)  # points per shard
+    lmax = problem.pt_obs_idx.shape[1]
+    dtype = meas.dtype
+
+    # Shard boundaries in the observation stream.
+    pt_starts = np.arange(d) * ms
+    obs_starts = np.searchsorted(pt_idx, pt_starts)
+    obs_ends = np.append(obs_starts[1:], len(pt_idx))
+    ks = int((obs_ends - obs_starts).max()) if d > 0 else 0
+    ks = max(ks, 1)
+
+    cam_sh = np.zeros((d, ks), np.int32)
+    ptl_sh = np.zeros((d, ks), np.int32)
+    meas_sh = np.zeros((d, ks, 2), dtype)
+    w_sh = np.zeros((d, ks), dtype)
+    pts_sh = np.zeros((d, ms, 3), dtype)
+    table_sh = np.full((d, ms, lmax), ks, np.int32)
+
+    for s in range(d):
+        lo, hi = obs_starts[s], obs_ends[s]
+        nloc = hi - lo
+        cam_sh[s, :nloc] = cam_idx[lo:hi]
+        ptl_sh[s, :nloc] = pt_idx[lo:hi] - pt_starts[s]
+        meas_sh[s, :nloc] = meas[lo:hi]
+        w_sh[s, :nloc] = 1.0
+        plo = s * ms
+        phi = min(plo + ms, m)
+        pts_sh[s, : phi - plo] = points[plo:phi]
+        # Local per-point gather table from the local sorted pt indices.
+        counts = np.bincount(ptl_sh[s, :nloc], minlength=ms)
+        offs = np.zeros(ms, np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        ar = np.arange(nloc)
+        pos = ar - offs[ptl_sh[s, :nloc]]
+        table_sh[s, ptl_sh[s, :nloc], pos] = ar
+
+    def put(x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    state = problem_mod.BAState(
+        K=put(problem.state.K, P()),
+        R=put(problem.state.R, P()),
+        T=put(problem.state.T, P()),
+        k1=put(problem.state.k1, P()),
+        k2=put(problem.state.k2, P()),
+        points=put(pts_sh.reshape(d * ms, 3), P(axis)),
+    )
+    obs = ShardedObservations(
+        cam_idx=put(cam_sh.reshape(-1), P(axis)),
+        pt_idx=put(ptl_sh.reshape(-1), P(axis)),
+        measurements=put(meas_sh.reshape(-1, 2), P(axis)),
+        weights=put(w_sh.reshape(-1), P(axis)),
+    )
+    return ShardedProblem(
+        state=state,
+        obs=obs,
+        pt_obs_idx=put(table_sh.reshape(d * ms, lmax), P(axis)),
+        inlier_threshold=problem.inlier_threshold,
+        avg_focal_length=problem.avg_focal_length,
+        n_shards=d,
+        obs_per_shard=ks,
+        points_per_shard=ms,
+        n_points_global=m,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class _LocalView:
+    """Duck-types BAProblem for the schur.* kernels inside a shard_map body."""
+
+    obs: ShardedObservations
+    pt_obs_idx: jax.Array
+    n_cameras: int
+    n_points: int
+
+
+def _local_blocks(state_local, obs_local, tau2):
+    """Masked residuals+Jacobian on one shard: padding rows contribute zero."""
+    blocks = jacobian_mod.residuals_and_jacobian(state_local, obs_local, tau2)
+    w = obs_local.weights
+    return jacobian_mod.JacobianBlocks(
+        Jc=blocks.Jc * w[:, None, None],
+        Jp=blocks.Jp * w[:, None, None],
+        f=blocks.f * w[:, None],
+    )
+
+
+def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
+    """Build (prepare, trial) LM kernels whose heavy math runs under shard_map.
+
+    Returned kernels have the signatures lm.lm_loop expects; ``state`` is a
+    BAState with replicated cameras and mesh-sharded points.
+    """
+    axis = mesh.axis_names[0]
+    n = sp.n_cameras
+    ms = sp.points_per_shard
+    tau2 = sp.tau2
+    point_factor, camera_solver = schur.MODE_STRATEGY[mode]
+
+    state_spec = problem_mod.BAState(
+        K=P(), R=P(), T=P(), k1=P(), k2=P(), points=P(axis)
+    )
+    obs_spec = ShardedObservations(
+        cam_idx=P(axis), pt_idx=P(axis), measurements=P(axis), weights=P(axis)
+    )
+
+    def local_view(obs_local, table_local):
+        return _LocalView(
+            obs=obs_local, pt_obs_idx=table_local, n_cameras=n, n_points=ms
+        )
+
+    # ---- prepare: J blocks + context; U/g_cams all-reduced, rest local. ----
+    def prepare_body(state, obs_local, table_local):
+        state_local = state  # cameras replicated, points already local
+        blocks = _local_blocks(state_local, obs_local, tau2)
+        energy = jax.lax.psum(jnp.sum(blocks.f * blocks.f), axis)
+        ctx = schur.build_context(blocks, local_view(obs_local, table_local), mode)
+        U = jax.lax.psum(ctx.U, axis)
+        g_cams = jax.lax.psum(ctx.g_cams, axis)
+        max_colnorm_sq = jnp.maximum(
+            jnp.max(jnp.diagonal(U, axis1=-2, axis2=-1)),
+            jax.lax.pmax(jnp.max(jnp.diagonal(ctx.V, axis1=-2, axis2=-1)), axis),
+        )
+        ctx = dataclasses.replace(
+            ctx, U=U, g_cams=g_cams, max_colnorm_sq=max_colnorm_sq
+        )
+        lam0 = schur.initial_lambda(ctx, mode).astype(energy.dtype)
+        return ctx, energy, lam0
+
+    ctx_spec = schur.SchurContext(
+        U=P(),
+        V=P(axis),
+        W=P(axis),
+        g_cams=P(),
+        g_pts=P(axis),
+        max_colnorm_sq=P(),
+        Jp_stacked=P(axis) if point_factor == "qr" else None,
+        Jc_stacked=P(axis) if (point_factor, camera_solver) == ("qr", "qr") else None,
+        rhs_stacked=P(axis) if (point_factor, camera_solver) == ("qr", "qr") else None,
+        evecs=P(axis) if point_factor == "eig" else None,
+        evals=P(axis) if point_factor == "eig" else None,
+        Z0=P(axis) if point_factor == "eig" else None,
+        y0=P(axis) if point_factor == "eig" else None,
+    )
+
+    prepare_sm = shard_map(
+        prepare_body,
+        mesh=mesh,
+        in_specs=(state_spec, obs_spec, P(axis)),
+        out_specs=(ctx_spec, P(), P()),
+        check_rep=False,
+    )
+
+    # ---- trial: local factors, psum'd reduced system, local back-sub. ----
+    def trial_body(ctx, state, lam, obs_local, table_local):
+        dtype = ctx.U.dtype
+        lam = jnp.asarray(lam, dtype)
+        view = local_view(obs_local, table_local)
+        cam_idx, pt_idx = obs_local.cam_idx, obs_local.pt_idx
+
+        if point_factor == "eig":
+            winv = 1.0 / (ctx.evals + lam)
+            Zw = ctx.Z0 * winv.reshape(-1)[:, None]
+            S_part = -(ctx.Z0.T @ Zw)
+            b_part = -(ctx.Z0.T @ (ctx.y0 * winv).reshape(-1))
+            S = jax.lax.psum(S_part, axis)
+            b = jax.lax.psum(b_part, axis) + ctx.g_cams.reshape(-1)
+            S4 = S.reshape(n, 9, n, 9)
+            ar = jnp.arange(n)
+            S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
+            S = S4.reshape(9 * n, 9 * n)
+            dxc = schur._camera_solve_chol(S, b).reshape(n, 9)
+            t = ctx.g_pts - jax.ops.segment_sum(
+                jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]),
+                pt_idx,
+                num_segments=ms,
+            )
+            dxp = jnp.einsum(
+                "mij,mj->mi",
+                ctx.evecs,
+                winv * jnp.einsum("mji,mj->mi", ctx.evecs, t),
+            )
+        else:
+            Linv = schur._point_factor_inv(ctx, lam, mode, dtype)
+            if camera_solver == "chol":
+                C = jnp.einsum("kij,kcj->kic", ctx.W, Linv[pt_idx])
+                Z = schur._scatter_z(C.transpose(0, 2, 1), cam_idx, pt_idx, n, ms)
+                y = jnp.einsum("mij,mj->mi", Linv, ctx.g_pts)
+                S = jax.lax.psum(-(Z.T @ Z), axis)
+                b = ctx.g_cams.reshape(-1) - jax.lax.psum(
+                    Z.T @ y.reshape(-1), axis
+                )
+                S4 = S.reshape(n, 9, n, 9)
+                ar = jnp.arange(n)
+                S4 = S4.at[ar, :, ar, :].add(
+                    ctx.U + lam * jnp.eye(9, dtype=dtype)
+                )
+                S = S4.reshape(9 * n, 9 * n)
+                dxc = schur._camera_solve_chol(S, b).reshape(n, 9)
+            else:
+                # Distributed TSQR: local chunked reduction, all-gather the
+                # per-shard R factors, reduce replicated.
+                R_local = schur.camera_tsqr_reduce(ctx, lam, view, Linv)
+                R_all = jax.lax.all_gather(R_local, axis)  # (D, ncols, ncols)
+                R_stack = R_all.reshape(-1, R_local.shape[-1])
+                R_comb = jnp.linalg.qr(R_stack, mode="r")
+                dxc = schur.finish_camera_qr(R_comb, lam, n).reshape(n, 9)
+            t = ctx.g_pts - jax.ops.segment_sum(
+                jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]),
+                pt_idx,
+                num_segments=ms,
+            )
+            y2 = jnp.einsum("mij,mj->mi", Linv, t)
+            dxp = jnp.einsum("mji,mj->mi", Linv, y2)
+
+        x_test = problem_mod.apply_step(state, dxp, dxc)
+        e_test = jax.lax.psum(
+            jnp.sum(
+                (_local_blocks(x_test, obs_local, tau2).f) ** 2
+            ),
+            axis,
+        )
+        jtres_dot = jnp.sum(dxc * ctx.g_cams) + jax.lax.psum(
+            jnp.sum(dxp * ctx.g_pts), axis
+        )
+        dx_norm2 = jnp.sum(dxc * dxc) + jax.lax.psum(jnp.sum(dxp * dxp), axis)
+        rho_scale = lam * dx_norm2 + jtres_dot
+        return x_test, e_test, rho_scale
+
+    trial_sm = shard_map(
+        trial_body,
+        mesh=mesh,
+        in_specs=(ctx_spec, state_spec, P(), obs_spec, P(axis)),
+        out_specs=(state_spec, P(), P()),
+        check_rep=False,
+    )
+
+    def prepare(state):
+        return prepare_sm(state, sp.obs, sp.pt_obs_idx)
+
+    def trial(ctx, state, lam):
+        return trial_sm(ctx, state, jnp.asarray(lam), sp.obs, sp.pt_obs_idx)
+
+    return prepare, trial
+
+
+def minimize_sharded(
+    sp: ShardedProblem,
+    mesh: Mesh,
+    mode: str = "cholesky",
+    config: Optional[lm_mod.LMConfig] = None,
+) -> lm_mod.LMResult:
+    """Distributed LM: same control flow as lm.minimize, sharded kernels."""
+    config = config or lm_mod.LMConfig()
+    prepare, trial = make_sharded_kernels(sp, mesh, mode)
+    if config.drive == "host":
+        prepare_j = jax.jit(prepare)
+        trial_j = jax.jit(trial)
+        return lm_mod.host_loop(sp.state, prepare_j, trial_j, config)
+
+    @jax.jit
+    def run(state0):
+        return lm_mod.lm_loop(
+            state0, prepare, trial, config, state0.T.dtype
+        )
+
+    final = run(sp.state)
+    return lm_mod.LMResult(
+        state=final.x,
+        status=lm_mod.LMStatus(int(final.status)),
+        iterations=int(final.it),
+        fun_evals=int(final.fun_evals),
+        energy=float(final.energy),
+        lam=float(final.lam),
+    )
+
+
+def unshard_points(sp: ShardedProblem, state: problem_mod.BAState) -> jax.Array:
+    """Recover the (M, 3) global point array from a sharded state."""
+    return state.points[: sp.n_points_global]

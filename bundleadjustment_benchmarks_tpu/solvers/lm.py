@@ -1,0 +1,422 @@
+"""Backtracking Levenberg-Marquardt driver (one driver, five solver modes).
+
+Control-flow-exact reimplementation of the reference's LM skeleton
+(/root/reference/src/Eigen_ext/BacktrackLevMarqCholesky.h:190-361; the QRChol/
+More headers are derived copies with identical accept/reject/stop logic):
+
+  * strict-decrease acceptance (energyTest < energy, :299);
+  * rho = (E - E') / (dx^T (lambda dx + JtRes)) (:300-301);
+  * Nielsen decrease on accept: lambda *= max(1/3, 1 - (2 rho - 1)^3),
+    clamped at lambda_min = 1e-10 (:303-305); reset nu to 2 (:312);
+  * on reject: stop with ExceededLambdaMax if lambda > 1e10 (:325-328), else
+    lambda *= nu, nu <- nu^1.5 (:331-334);
+  * energy-flatline stop against a depth-2 history ring buffer:
+    |E - max(hist)| < tolFun * E once iter > 2 (:343-350, :150, :316);
+  * QUIRK kept switchable (``discard_final_step``): on the flatline path the
+    reference breaks BEFORE ``x = xTest`` (:344-353), so the final accepted
+    step is discarded and post-stats reflect the previous iterate. Default
+    True for output parity.
+
+The driver is kernel-parameterized: ``prepare(state) -> (ctx, energy, lam0)``
+(once per outer iteration: residuals + Jacobian + lambda-independent solver
+context) and ``trial(ctx, state, lam) -> (x_test, e_test, rho_scale)`` (one
+damping trial). The single-chip kernels close over a BAProblem + solver mode;
+the distributed kernels in ``parallel/`` close over a sharded problem and a
+device mesh — the LM control flow is identical.
+
+Two drive modes:
+  * ``drive='jit'``: the whole minimize is one XLA computation
+    (lax.while_loop outer + inner damping loop, lambda as a traced scalar, no
+    host round-trips) — the performance path;
+  * ``drive='host'``: Python loops around the same jitted kernels, with the
+    reference's verbose per-trial iteration table and wall-clock timing
+    (BacktrackLevMarqCholesky.h:53-81) — the parity/observability path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from bundleadjustment_benchmarks_tpu.models import problem as problem_mod
+from bundleadjustment_benchmarks_tpu.ops import jacobian, projection
+from bundleadjustment_benchmarks_tpu.solvers import schur
+
+
+class LMStatus(enum.IntEnum):
+    """Reference status enum (BacktrackLevMarqCholesky.h:27-34)."""
+
+    NotStarted = -2
+    Running = -1
+    Success = 0
+    ExceededLambdaMax = 1
+    TooManyFunctionEvaluation = 2
+    MaxItersReached = 3
+
+
+#: Reference statusToString (BacktrackLevMarqCholesky.h:36-51).
+STATUS_STRINGS = {
+    LMStatus.NotStarted: "Not Started",
+    LMStatus.Running: "Running",
+    LMStatus.Success: "Success (Energy Flatlined)",
+    LMStatus.ExceededLambdaMax: "Success (Exceeded Maximum Lambda)",
+    LMStatus.TooManyFunctionEvaluation: "Too Many Function Evaluations",
+    LMStatus.MaxItersReached: "Maximum Iterations Reached",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    """LM hyper-parameters; defaults equal the reference's
+    (BacktrackLevMarqCholesky.h:110-132)."""
+
+    tol_fun: float = 1e-8
+    max_iter: int = 1_000_000
+    max_fun_ev: int = 1_000_000
+    lambda_min: float = 1e-10
+    lambda_max: float = 1e10
+    lambda_increase_base: float = 2.0
+    #: Kept for API parity; the first-iteration lambda is overridden from the
+    #: Jacobian column norms exactly as each reference driver does
+    #: (see schur.initial_lambda).
+    lambda_init: float = 1e-3
+    discard_final_step: bool = True
+    verbose: bool = False
+    drive: str = "jit"  # "jit" | "host"
+    #: History depth of the flatline test (BacktrackLevMarqCholesky.h:150).
+    energy_history_size: int = 2
+
+
+class LMResult(NamedTuple):
+    state: problem_mod.BAState
+    status: LMStatus
+    iterations: int
+    fun_evals: int
+    energy: float
+    lam: float
+
+
+# ----------------------------------------------------------------------------
+# Single-chip kernels.
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _prepare(state, problem, mode: str):
+    """Residuals + Jacobian + lambda-independent solver context (once per outer iter)."""
+    blocks = jacobian.residuals_and_jacobian(state, problem.obs, problem.tau2)
+    energy = jnp.sum(blocks.f * blocks.f)
+    ctx = schur.build_context(blocks, problem, mode)
+    lam0 = schur.initial_lambda(ctx, mode).astype(energy.dtype)
+    return ctx, energy, lam0
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _trial(ctx, state, lam, problem, mode: str):
+    """One damping trial: solve, step, re-evaluate energy (inner-loop work)."""
+    dxp, dxc = schur.solve_damped(ctx, lam, problem, mode)
+    x_test = problem_mod.apply_step(state, dxp, dxc)
+    e_test = projection.energy(x_test, problem.obs, problem.tau2)
+    rho_scale = schur.gradient_dot(ctx, dxp, dxc, lam)
+    return x_test, e_test, rho_scale
+
+
+# ----------------------------------------------------------------------------
+# Kernel-parameterized fully-jitted drive.
+# ----------------------------------------------------------------------------
+
+
+class _OuterState(NamedTuple):
+    x: object
+    lam: jax.Array
+    lam_inc: jax.Array
+    it: jax.Array
+    fun_evals: jax.Array
+    hist: jax.Array
+    status: jax.Array
+    energy: jax.Array
+
+
+def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
+    """The traced LM loop; call inside jit with closed-over kernels."""
+    running = jnp.int32(int(LMStatus.Running))
+
+    def outer_cond(st: _OuterState):
+        return st.status == running
+
+    def outer_body(st: _OuterState):
+        it = st.it + 1
+        # Top-of-iteration stop checks (BacktrackLevMarqCholesky.h:229-237).
+        status = jnp.where(
+            it > config.max_iter,
+            jnp.int32(int(LMStatus.MaxItersReached)),
+            jnp.where(
+                st.fun_evals > config.max_fun_ev,
+                jnp.int32(int(LMStatus.TooManyFunctionEvaluation)),
+                running,
+            ),
+        )
+
+        def stopped(_):
+            return st._replace(it=it, status=status)
+
+        def work(_):
+            ctx, energy, lam0_rule = prepare(st.x)
+            fun_evals = st.fun_evals + 1
+            lam0 = jnp.where(it == 1, lam0_rule, st.lam)
+
+            def inner_cond(c):
+                _, _, _, accepted, stop, _ = c
+                return jnp.logical_not(jnp.logical_or(accepted, stop))
+
+            def inner_body(c):
+                lam, lam_inc, (x_test, e_test), _, _, fe = c
+                x_t, e_t, rho_scale = trial(ctx, st.x, lam)
+                fe = fe + 1
+                accepted = e_t < energy
+
+                # Accept branch: Nielsen lambda decrease (:299-316).
+                rho = (energy - e_t) / rho_scale
+                lam_mul = 1.0 - (2.0 * rho - 1.0) ** 3
+                lam_acc = jnp.maximum(
+                    lam * jnp.maximum(jnp.asarray(1.0 / 3.0, dtype), lam_mul),
+                    jnp.asarray(config.lambda_min, dtype),
+                )
+                # Reject branch: stop check precedes growth (:325-334).
+                stop = jnp.logical_and(
+                    jnp.logical_not(accepted), lam > config.lambda_max
+                )
+                grow = jnp.logical_and(
+                    jnp.logical_not(accepted), jnp.logical_not(stop)
+                )
+                lam_new = jnp.where(
+                    accepted, lam_acc, jnp.where(grow, lam * lam_inc, lam)
+                )
+                lam_inc_new = jnp.where(
+                    accepted,
+                    jnp.asarray(config.lambda_increase_base, dtype),
+                    jnp.where(grow, lam_inc**1.5, lam_inc),
+                )
+                return (lam_new, lam_inc_new, (x_t, e_t), accepted, stop, fe)
+
+            init = (
+                lam0,
+                st.lam_inc,
+                (st.x, energy),
+                jnp.asarray(False),
+                jnp.asarray(False),
+                fun_evals,
+            )
+            lam, lam_inc, (x_test, e_test), accepted, stop, fun_evals = (
+                jax.lax.while_loop(inner_cond, inner_body, init)
+            )
+
+            new_energy = jnp.where(accepted, e_test, energy)
+            hist = jnp.where(
+                accepted,
+                st.hist.at[it % config.energy_history_size].set(new_energy),
+                st.hist,
+            )
+            flat = jnp.logical_and(
+                it > config.energy_history_size,
+                jnp.abs(new_energy - jnp.max(hist)) < config.tol_fun * new_energy,
+            )
+            flat = jnp.logical_and(flat, accepted)
+            status2 = jnp.where(
+                stop,
+                jnp.int32(int(LMStatus.ExceededLambdaMax)),
+                jnp.where(flat, jnp.int32(int(LMStatus.Success)), running),
+            )
+            # Advance x only while Running (the reference's final-step-discard
+            # quirk, :344-353) unless discard_final_step is disabled.
+            if config.discard_final_step:
+                advance = status2 == running
+            else:
+                advance = accepted
+            x_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(advance, b, a), st.x, x_test
+            )
+            return _OuterState(
+                x=x_new,
+                lam=lam,
+                lam_inc=lam_inc,
+                it=it,
+                fun_evals=fun_evals,
+                hist=hist,
+                status=status2,
+                energy=new_energy,
+            )
+
+        return jax.lax.cond(status == running, work, stopped, None)
+
+    init = _OuterState(
+        x=state0,
+        lam=jnp.asarray(config.lambda_init, dtype),
+        lam_inc=jnp.asarray(config.lambda_increase_base, dtype),
+        it=jnp.int32(0),
+        fun_evals=jnp.int32(0),
+        hist=jnp.zeros((config.energy_history_size,), dtype),
+        status=running,
+        energy=jnp.asarray(jnp.inf, dtype),
+    )
+    return jax.lax.while_loop(outer_cond, outer_body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "config"))
+def _minimize_jit(state0, problem, mode: str, config: LMConfig):
+    dtype = state0.T.dtype
+    prepare = lambda s: _prepare(s, problem, mode)  # noqa: E731
+    trial = lambda ctx, s, lam: _trial(ctx, s, lam, problem, mode)  # noqa: E731
+    return lm_loop(state0, prepare, trial, config, dtype)
+
+
+# ----------------------------------------------------------------------------
+# Host-driven drive (verbose parity path) — also kernel-parameterized.
+# ----------------------------------------------------------------------------
+
+
+def _output_header():
+    print(
+        "############################## Backtrack LevMarq"
+        " ###############################"
+    )
+    print("-" * 80)
+
+
+def _output_iter_header():
+    print(
+        f"{'Iter':>5}{'Status':>15}{'f':>15}{'rho':>15}{'lambda':>15}{'Elapsed':>15}"
+    )
+    print("-" * 80)
+
+
+def _output_iter(it, status, fval, rho, lam, elapsed):
+    print(
+        f"{it:>5}{status:>15}{fval:>15.6g}{rho:>15.6g}{lam:>15.6g}{elapsed:>14.4g}s"
+    )
+
+
+def host_loop(state0, prepare, trial, config: LMConfig):
+    """Python-driven LM loop around jitted kernels (verbose parity path)."""
+    if config.verbose:
+        _output_header()
+        _output_iter_header()
+
+    x = state0
+    lam = float(config.lambda_init)
+    lam_inc = config.lambda_increase_base
+    fun_evals = 0
+    it = 0
+    hist = [0.0] * config.energy_history_size
+    status = LMStatus.Running
+    energy = float("inf")
+
+    while True:
+        iter_start = time.perf_counter()
+        it += 1
+        if it > config.max_iter:
+            status = LMStatus.MaxItersReached
+            break
+        if fun_evals > config.max_fun_ev:
+            status = LMStatus.TooManyFunctionEvaluation
+            break
+
+        ctx, energy_dev, lam0_rule = prepare(x)
+        energy = float(energy_dev)
+        fun_evals += 1
+        if it == 1:
+            lam = float(lam0_rule)
+
+        stop_now = False
+        x_test = x
+        while True:
+            x_t, e_t, rho_scale = trial(ctx, x, lam)
+            e_t = float(e_t)
+            fun_evals += 1
+            if e_t < energy:
+                rho = (energy - e_t) / float(rho_scale)
+                lam_mul = 1.0 - (2.0 * rho - 1.0) ** 3
+                lam = max(lam * max(1.0 / 3.0, lam_mul), config.lambda_min)
+                if config.verbose:
+                    _output_iter(
+                        it, "Accepted", energy, rho, lam,
+                        time.perf_counter() - iter_start,
+                    )
+                lam_inc = config.lambda_increase_base
+                energy = e_t
+                hist[it % config.energy_history_size] = energy
+                x_test = x_t
+                break
+            else:
+                if config.verbose:
+                    _output_iter(
+                        it, "Rejected", energy, 0.0, lam,
+                        time.perf_counter() - iter_start,
+                    )
+                if lam > config.lambda_max:
+                    status = LMStatus.ExceededLambdaMax
+                    stop_now = True
+                    break
+                lam *= lam_inc
+                lam_inc = lam_inc**1.5
+            iter_start = time.perf_counter()
+
+        if stop_now:
+            break
+
+        if it > config.energy_history_size:
+            maxf = max(hist)
+            if abs(energy - maxf) < config.tol_fun * energy:
+                status = LMStatus.Success
+                if not config.discard_final_step:
+                    x = x_test
+                break
+
+        x = x_test
+
+    if config.verbose:
+        print("-" * 80)
+    return LMResult(
+        state=x,
+        status=status,
+        iterations=it,
+        fun_evals=fun_evals,
+        energy=energy,
+        lam=lam,
+    )
+
+
+def minimize(
+    problem: problem_mod.BAProblem,
+    mode: str = "cholesky",
+    config: Optional[LMConfig] = None,
+    state: Optional[problem_mod.BAState] = None,
+) -> LMResult:
+    """Run LM on a BA problem. ``mode`` selects the solver strategy
+    (cholesky/qrchol/qrkit/moreqr/spqr), replacing the reference's five
+    compile-time binaries with a runtime flag (README.md:7-18)."""
+    if mode not in schur.MODES:
+        raise ValueError(f"unknown mode {mode!r}; expected one of {schur.MODES}")
+    config = config or LMConfig()
+    state = state if state is not None else problem.state
+
+    if config.drive == "host":
+        prepare = lambda s: _prepare(s, problem, mode)  # noqa: E731
+        trial = lambda ctx, s, lam: _trial(ctx, s, lam, problem, mode)  # noqa: E731
+        return host_loop(state, prepare, trial, config)
+
+    final = _minimize_jit(state, problem, mode, config)
+    return LMResult(
+        state=final.x,
+        status=LMStatus(int(final.status)),
+        iterations=int(final.it),
+        fun_evals=int(final.fun_evals),
+        energy=float(final.energy),
+        lam=float(final.lam),
+    )

@@ -1,0 +1,387 @@
+"""Damped-system solvers: five strategies, one Schur-complement engine.
+
+The reference compiles five binaries around five sparse factorizations of the
+same damped system (J^T J + lambda I) dx = -J^T f (SURVEY.md section 0):
+
+  CHOLESKY  SimplicialLDLT of the whole normal matrix
+            (BacktrackLevMarqCholesky.h:272-282)
+  QRCHOL    block-diagonal QR over 3-column point blocks of [J; sqrt(l) I],
+            then LDLT of the reduced camera normal matrix J2bot^T J2bot
+            (BacktrackLevMarqQRChol.h:286-341) — classic Schur complement
+  QRKIT     same left block QR + dense thin QR of the reduced camera block
+  MOREQR    QR of J once per outer iteration; per damping trial only a small
+            QR of [R; sqrt(l) I] (BacktrackLevMarqMore.h:287-328)
+  SPQR      SuiteSparse QR of the whole Jacobian
+
+On TPU the Jacobian stays implicit as (K,2,9)/(K,2,3) blocks and ALL five
+strategies become variants of one batched Schur elimination — which is exactly
+the block structure those CPU factorizations exploit symbolically:
+
+  point factor   'chol': closed-form Cholesky of V_p + lambda I (M batched 3x3)
+                 'qr':   batched MGS QR of each point's stacked observation
+                         rows augmented with sqrt(lambda) I_3 — forms the
+                         triangular factor WITHOUT squaring, the
+                         BlockDiagonalSparseQR analog
+                 'eig':  (moreqr) closed-form eigendecomposition of V_p once
+                         per outer iteration; per trial the damped inverse is
+                         (D + lambda)^-1 in the cached eigenbasis, so the
+                         expensive work amortizes across damping trials — the
+                         TPU-native analog of More's cached-R refactor
+  camera solve   'chol': dense Cholesky of the reduced camera system
+                         S = blkdiag(U_c + lambda I) - Z^T Z  (9N x 9N)
+                 'qr':   chunked tall-skinny QR (TSQR) over the
+                         point-projected camera rows — the DenseBlockedThinQR
+                         / SPQR analog, avoids forming S = B^T B
+
+Z is the (3M x 9N) matrix of point-whitened coupling blocks C_i = W_i L_p^-T
+scattered at (point-row, camera-col); Z^T Z = sum_p W_p Vhat_p^-1 W_p^T is one
+big MXU matmul instead of a sparse triangular solve.
+
+Mode mapping:  cholesky=(chol, chol)  qrchol=(qr, chol)  qrkit=(qr, qr)
+               spqr=(qr, qr) [whole-matrix QR solve: documented equivalence —
+               SuiteSparse is neither portable nor available; the augmented
+               block QR solves the identical least-squares problem]
+               moreqr=(eig, chol)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from bundleadjustment_benchmarks_tpu.ops import linalg
+from bundleadjustment_benchmarks_tpu.ops.jacobian import JacobianBlocks
+
+MODES = ("cholesky", "qrchol", "qrkit", "moreqr", "spqr")
+
+#: (point_factor, camera_solver) per mode.
+MODE_STRATEGY = {
+    "cholesky": ("chol", "chol"),
+    "qrchol": ("qr", "chol"),
+    "qrkit": ("qr", "qr"),
+    "spqr": ("qr", "qr"),
+    "moreqr": ("eig", "chol"),
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SchurContext:
+    """Lambda-independent per-outer-iteration data (cached across damping trials).
+
+    The reference recomputes J once per outer iteration and re-factors per
+    trial; this context is the TPU analog of 'everything computable from J'.
+    """
+
+    U: jax.Array  # (N, 9, 9) sum Jc^T Jc per camera
+    V: jax.Array  # (M, 3, 3) sum Jp^T Jp per point
+    W: jax.Array  # (K, 9, 3) Jc_i^T Jp_i per observation
+    g_cams: jax.Array  # (N, 9)  -(J^T f) camera part
+    g_pts: jax.Array  # (M, 3)  -(J^T f) point part
+    max_colnorm_sq: jax.Array  # max_j ||J col j||^2 = max diag(J^T J)
+    # 'qr' point factor: per-point stacked observation rows (M, 2*Lmax, 3)
+    Jp_stacked: Optional[jax.Array]
+    # 'qr' camera solver: per-point stacked camera rows and rhs
+    Jc_stacked: Optional[jax.Array]  # (M, 2*Lmax, 9)
+    rhs_stacked: Optional[jax.Array]  # (M, 2*Lmax)
+    # 'eig' point factor (moreqr): eigenbasis of V and pre-rotated coupling
+    evecs: Optional[jax.Array]  # (M, 3, 3)
+    evals: Optional[jax.Array]  # (M, 3) clamped >= 0
+    Z0: Optional[jax.Array]  # (3M, 9N) scatter of (W_i Q_p)^T
+    y0: Optional[jax.Array]  # (M, 3) Q^T g_pts
+
+
+def _scatter_z(Ct: jax.Array, cam_idx, pt_idx, n_cameras: int, n_points: int):
+    """Scatter per-observation (3, 9) blocks into the dense (3M, 9N) Z matrix."""
+    Z = jnp.zeros((n_points, 3, n_cameras, 9), Ct.dtype)
+    Z = Z.at[pt_idx, :, cam_idx, :].add(Ct)
+    return Z.reshape(n_points * 3, n_cameras * 9)
+
+
+def build_context(
+    blocks: JacobianBlocks, problem, mode: str
+) -> SchurContext:
+    """Assemble normal-equation blocks + mode-specific cached factors from J."""
+    obs = problem.obs
+    cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
+    n, m = problem.n_cameras, problem.n_points
+    Jc, Jp, f = blocks.Jc, blocks.Jp, blocks.f
+
+    UtU = jnp.einsum("kri,krj->kij", Jc, Jc)  # (K, 9, 9)
+    VtV = jnp.einsum("kri,krj->kij", Jp, Jp)  # (K, 3, 3)
+    U = jax.ops.segment_sum(UtU, cam_idx, num_segments=n)
+    V = jax.ops.segment_sum(VtV, pt_idx, num_segments=m)
+    W = jnp.einsum("kri,krj->kij", Jc, Jp)  # (K, 9, 3)
+    g_cams = -jax.ops.segment_sum(
+        jnp.einsum("kri,kr->ki", Jc, f), cam_idx, num_segments=n
+    )
+    g_pts = -jax.ops.segment_sum(
+        jnp.einsum("kri,kr->ki", Jp, f), pt_idx, num_segments=m
+    )
+    max_colnorm_sq = jnp.maximum(
+        jnp.max(jnp.diagonal(U, axis1=-2, axis2=-1)),
+        jnp.max(jnp.diagonal(V, axis1=-2, axis2=-1)),
+    )
+
+    point_factor, camera_solver = MODE_STRATEGY[mode]
+    Jp_stacked = Jc_stacked = rhs_stacked = None
+    evecs = evals = Z0 = y0 = None
+
+    if point_factor == "qr" :
+        # Gather each point's observation rows into a padded static-shape
+        # stack; sentinel index K gathers an all-zero row (harmless in QR).
+        lmax = problem.pt_obs_idx.shape[1]
+        Jp_ext = jnp.concatenate([Jp, jnp.zeros((1, 2, 3), Jp.dtype)], axis=0)
+        Jp_stacked = Jp_ext[problem.pt_obs_idx].reshape(m, 2 * lmax, 3)
+        if camera_solver == "qr":
+            Jc_ext = jnp.concatenate([Jc, jnp.zeros((1, 2, 9), Jc.dtype)], axis=0)
+            f_ext = jnp.concatenate([f, jnp.zeros((1, 2), f.dtype)], axis=0)
+            Jc_stacked = Jc_ext[problem.pt_obs_idx].reshape(m, 2 * lmax, 9)
+            rhs_stacked = (-f_ext[problem.pt_obs_idx]).reshape(m, 2 * lmax)
+    elif point_factor == "eig":
+        # More-style amortization: eigendecompose V once; damping trials only
+        # rescale by (d + lambda)^-1. eigh of batched 3x3 symmetric blocks.
+        evals_raw, evecs = jnp.linalg.eigh(V)
+        evals = jnp.maximum(evals_raw, 0.0)
+        WQ = jnp.einsum("kij,kjl->kil", W, evecs[pt_idx])  # (K, 9, 3)
+        Z0 = _scatter_z(WQ.transpose(0, 2, 1), cam_idx, pt_idx, n, m)
+        y0 = jnp.einsum("mji,mj->mi", evecs, g_pts)  # Q^T g per point
+
+    return SchurContext(
+        U=U,
+        V=V,
+        W=W,
+        g_cams=g_cams,
+        g_pts=g_pts,
+        max_colnorm_sq=max_colnorm_sq,
+        Jp_stacked=Jp_stacked,
+        Jc_stacked=Jc_stacked,
+        rhs_stacked=rhs_stacked,
+        evecs=evecs,
+        evals=evals,
+        Z0=Z0,
+        y0=y0,
+    )
+
+
+def initial_lambda(ctx: SchurContext, mode: str) -> jax.Array:
+    """First-iteration lambda, replicating each driver's init rule.
+
+    cholesky: 1e-12 * max diag(J^T J)      (BacktrackLevMarqCholesky.h:263-265)
+    qrchol:   1e-12 * max col squaredNorm  (BacktrackLevMarqQRChol.h:276-280)
+              — the same quantity
+    moreqr:   1e-6 * max col blueNorm      (BacktrackLevMarqMore.h:281-285)
+    qrkit/spqr: driven by the external fork's BacktrackLevMarq (not in the
+              reference repo); we use the More rule, the in-repo derived copy
+              closest to the fork's driver.
+    """
+    if mode in ("cholesky", "qrchol"):
+        return 1e-12 * ctx.max_colnorm_sq
+    return 1e-6 * jnp.sqrt(ctx.max_colnorm_sq)
+
+
+def _point_factor_inv(ctx: SchurContext, lam, mode: str, dtype):
+    """Return Linv (M, 3, 3) with Vhat^-1 = Linv^T Linv for the damped point blocks."""
+    point_factor, _ = MODE_STRATEGY[mode]
+    m = ctx.V.shape[0]
+    if point_factor == "chol":
+        eye3 = jnp.eye(3, dtype=dtype)
+        L = linalg.cholesky3x3(ctx.V + lam * eye3)
+        return linalg.inv_lower3x3(L)
+    if point_factor == "qr":
+        sl = jnp.sqrt(lam)
+        lam_rows = jnp.broadcast_to(sl * jnp.eye(3, dtype=dtype), (m, 3, 3))
+        A = jnp.concatenate([ctx.Jp_stacked, lam_rows], axis=1)
+        _, R = linalg.mgs_qr3(A)
+        # L = R^T lower-triangular; Linv = inv(L).
+        return linalg.inv_lower3x3(jnp.swapaxes(R, -1, -2))
+    raise ValueError(f"no explicit point factor for mode {mode}")
+
+
+def _reduced_system_chol(ctx, lam, cam_idx, pt_idx, n, m, Linv):
+    """Form S = blkdiag(U + lam I) - Z^T Z and rhs b; one big MXU matmul."""
+    dtype = ctx.U.dtype
+    # C_i = W_i L_p^-T  (point-whitened coupling), scattered as Z.
+    C = jnp.einsum("kij,kcj->kic", ctx.W, Linv[pt_idx])  # W @ Linv^T: (K, 9, 3)
+    Z = _scatter_z(C.transpose(0, 2, 1), cam_idx, pt_idx, n, m)
+    S = -(Z.T @ Z)
+    S4 = S.reshape(n, 9, n, 9)
+    ar = jnp.arange(n)
+    S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
+    S = S4.reshape(9 * n, 9 * n)
+    y = jnp.einsum("mij,mj->mi", Linv, ctx.g_pts)  # L^-1 g_p
+    b = ctx.g_cams.reshape(-1) - Z.T @ y.reshape(-1)
+    return S, b
+
+
+def _camera_solve_chol(S, b):
+    """Direct solve of the reduced camera system (the SimplicialLDLT analog).
+
+    QR rather than plain Cholesky: at very small lambda the Schur subtraction
+    S = blkdiag(U) - Z^T Z can leave S indefinite at the 1e-10-relative level
+    (cancellation), which LLT turns into NaN while the reference's LDLT
+    tolerates it; QR is backward-stable for any invertible S (and f64 LU is
+    not implemented by the TPU compiler stack). If the solve still produces
+    NaN (S singular), the LM driver rejects the step and raises lambda —
+    graceful degradation.
+    """
+    Q, R = jnp.linalg.qr(S)
+    return jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+
+
+def solve_damped(ctx: SchurContext, lam, problem, mode: str):
+    """Solve (J^T J + lam I) dx = -J^T f; returns (dx_pts (M,3), dx_cams (N,9)).
+
+    This is the inner-damping-loop work item: everything lambda-dependent.
+    """
+    obs = problem.obs
+    cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
+    n, m = problem.n_cameras, problem.n_points
+    dtype = ctx.U.dtype
+    lam = jnp.asarray(lam, dtype)
+    point_factor, camera_solver = MODE_STRATEGY[mode]
+
+    if point_factor == "eig":
+        winv = 1.0 / (ctx.evals + lam)  # (M, 3)
+        Zw = ctx.Z0 * winv.reshape(-1)[:, None]
+        S = -(ctx.Z0.T @ Zw)
+        S4 = S.reshape(n, 9, n, 9)
+        ar = jnp.arange(n)
+        S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
+        S = S4.reshape(9 * n, 9 * n)
+        b = ctx.g_cams.reshape(-1) - ctx.Z0.T @ (ctx.y0 * winv).reshape(-1)
+        dxc = _camera_solve_chol(S, b).reshape(n, 9)
+        # Back-substitution in the eigenbasis.
+        t = ctx.g_pts - jax.ops.segment_sum(
+            jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), pt_idx, num_segments=m
+        )
+        dxp = jnp.einsum(
+            "mij,mj->mi", ctx.evecs, winv * jnp.einsum("mji,mj->mi", ctx.evecs, t)
+        )
+        return dxp, dxc
+
+    Linv = _point_factor_inv(ctx, lam, mode, dtype)
+
+    if camera_solver == "chol":
+        S, b = _reduced_system_chol(ctx, lam, cam_idx, pt_idx, n, m, Linv)
+        dxc = _camera_solve_chol(S, b).reshape(n, 9)
+    else:
+        dxc = camera_solve_qr(ctx, lam, problem, Linv).reshape(n, 9)
+
+    # Shared back-substitution: Vhat dx_p = g_p - sum_i W_i^T dx_c(i).
+    t = ctx.g_pts - jax.ops.segment_sum(
+        jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), pt_idx, num_segments=m
+    )
+    y = jnp.einsum("mij,mj->mi", Linv, t)
+    dxp = jnp.einsum("mji,mj->mi", Linv, y)
+    return dxp, dxc
+
+
+def camera_solve_qr(ctx: SchurContext, lam, problem, Linv, chunk_points: int = 512):
+    """Genuine QR camera solve (see camera_tsqr_reduce for the reduction)."""
+    R_reduced = camera_tsqr_reduce(ctx, lam, problem, Linv, chunk_points)
+    return finish_camera_qr(R_reduced, lam, problem.n_cameras)
+
+
+def camera_tsqr_reduce(
+    ctx: SchurContext, lam, problem, Linv, chunk_points: int = 512
+):
+    """Chunked TSQR reduction over point-projected camera rows -> R factor.
+
+    Per point p (rows of the augmented system after the left block QR):
+        B_p = (I - Q1 Q1^T) [A_cam | b]    with  Q1 = A_pt_aug L^-T
+    where A_pt_aug/A_cam are the point's stacked observation rows (+
+    sqrt(lam) I_3 point-lambda rows with zero camera columns). Rows are
+    scattered into dense 9N+1 columns one chunk of points at a time and
+    reduced with a running R via jnp.linalg.qr — the TSQR replacement for the
+    reference's multithreaded DenseBlockedThinQR (BAFunctor.h:101) and for
+    SPQR's whole-matrix QR. The trailing rhs column carries Q^T b through the
+    reduction (augmented-column trick), so no explicit Q is ever formed.
+    """
+    obs = problem.obs
+    n, m = problem.n_cameras, problem.n_points
+    dtype = ctx.U.dtype
+    lmax = problem.pt_obs_idx.shape[1]
+    ncols = 9 * n + 1
+    chunk_points = max(1, min(chunk_points, m))
+    sl = jnp.sqrt(lam)
+
+    # Per-point camera-column map for each stacked row (sentinel -> camera 0
+    # with all-zero row data, harmless).
+    cam_ext = jnp.concatenate([obs.cam_idx, jnp.zeros((1,), obs.cam_idx.dtype)])
+    cam_per_slot = cam_ext[problem.pt_obs_idx]  # (M, Lmax)
+
+    Q1_obs = jnp.einsum("mrj,mcj->mrc", ctx.Jp_stacked, Linv)  # (M, 2Lmax, 3)
+    Q1_lam = sl * jnp.swapaxes(Linv, -1, -2)  # (M, 3, 3)
+    Q1 = jnp.concatenate([Q1_obs, Q1_lam], axis=1)  # (M, 2Lmax+3, 3)
+
+    rows_per_point = 2 * lmax + 3
+    nchunks = -(-m // chunk_points)
+    pad_points = nchunks * chunk_points - m
+
+    def pad(x, value=0):
+        cfg = [(0, pad_points)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=value)
+
+    Jc_st = pad(ctx.Jc_stacked).reshape(nchunks, chunk_points, 2 * lmax, 9)
+    rhs_st = pad(ctx.rhs_stacked).reshape(nchunks, chunk_points, 2 * lmax)
+    cam_st = pad(cam_per_slot).reshape(nchunks, chunk_points, lmax)
+    Q1_st = pad(Q1).reshape(nchunks, chunk_points, rows_per_point, 3)
+
+    def chunk_body(carry_R, inp):
+        Jc_c, rhs_c, cam_c, Q1_c = inp
+        P = chunk_points
+        # Scatter camera blocks to dense columns: (P, 2Lmax+3, 9N+1).
+        A = jnp.zeros((P, 2 * lmax, n, 9), dtype)
+        slot_cam = jnp.repeat(cam_c, 2, axis=1)  # (P, 2Lmax)
+        pi = jnp.arange(P)[:, None]
+        ri = jnp.arange(2 * lmax)[None, :]
+        A = A.at[pi, ri, slot_cam, :].set(Jc_c)
+        A = A.reshape(P, 2 * lmax, 9 * n)
+        A = jnp.concatenate([A, jnp.zeros((P, 3, 9 * n), dtype)], axis=1)
+        rhs_full = jnp.concatenate([rhs_c, jnp.zeros((P, 3), dtype)], axis=1)
+        Ab = jnp.concatenate([A, rhs_full[..., None]], axis=-1)  # (P, rows, 9N+1)
+        # Project out the point columns: B = (I - Q1 Q1^T) Ab.
+        QtA = jnp.einsum("prc,prj->pcj", Q1_c, Ab)  # (P, 3, 9N+1)
+        B = Ab - jnp.einsum("prc,pcj->prj", Q1_c, QtA)
+        B = B.reshape(P * rows_per_point, ncols)
+        stacked = jnp.concatenate([carry_R, B], axis=0)
+        new_R = jnp.linalg.qr(stacked, mode="r")
+        return new_R, None
+
+    R0 = jnp.zeros((ncols, ncols), dtype)
+    R_final, _ = jax.lax.scan(
+        chunk_body, R0, (Jc_st, rhs_st, cam_st, Q1_st)
+    )
+    return R_final
+
+
+def finish_camera_qr(R_reduced, lam, n_cameras: int):
+    """Append the global camera lambda rows [sqrt(lam) I_9N | 0], final QR, solve.
+
+    Split out of camera_solve_qr so the distributed path can all-gather
+    per-shard R factors and run this combiner replicated (the TSQR reduce).
+    """
+    dtype = R_reduced.dtype
+    n9 = 9 * n_cameras
+    sl = jnp.sqrt(jnp.asarray(lam, dtype))
+    lam_rows = jnp.concatenate(
+        [sl * jnp.eye(n9, dtype=dtype), jnp.zeros((n9, 1), dtype)], axis=1
+    )
+    R_final = jnp.linalg.qr(
+        jnp.concatenate([R_reduced, lam_rows], axis=0), mode="r"
+    )
+    Rcam = R_final[:n9, :n9]
+    qtb = R_final[:n9, n9]
+    return linalg.solve_upper_triangular(Rcam, qtb)
+
+
+def gradient_dot(ctx: SchurContext, dxp, dxc, lam):
+    """rhoScale = dx^T (lam dx + JtRes) (BacktrackLevMarqCholesky.h:300)."""
+    jtres_dot = jnp.sum(dxc * ctx.g_cams) + jnp.sum(dxp * ctx.g_pts)
+    dx_norm2 = jnp.sum(dxc * dxc) + jnp.sum(dxp * dxp)
+    return lam * dx_norm2 + jtres_dot

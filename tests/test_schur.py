@@ -1,0 +1,93 @@
+"""Schur solver strategies vs a dense normal-equations oracle.
+
+All five modes solve (J^T J + lambda I) dx = -J^T f (SURVEY.md section 7); here
+the dense system is built explicitly from the analytic blocks and solved with
+numpy, and each mode's batched/implicit solution must match.
+"""
+
+import numpy as np
+import pytest
+
+from bundleadjustment_benchmarks_tpu.ops import jacobian
+from bundleadjustment_benchmarks_tpu.solvers import schur
+
+from conftest import make_synthetic_problem
+from test_jacobian import dense_jacobian_analytic
+
+
+def dense_solve(problem, lam):
+    J, blocks = dense_jacobian_analytic(problem)
+    f = np.asarray(blocks.f).reshape(-1)
+    A = J.T @ J + lam * np.eye(J.shape[1])
+    b = -J.T @ f
+    dx = np.linalg.solve(A, b)
+    m = problem.n_points
+    return dx[: 3 * m].reshape(m, 3), dx[3 * m :].reshape(-1, 9)
+
+
+@pytest.mark.parametrize("mode", schur.MODES)
+@pytest.mark.parametrize("lam", [1e-6, 1e-2, 10.0])
+def test_solve_damped_solves_the_system(mode, lam):
+    """Correctness criterion robust to BA's huge condition numbers: the linear
+    residual ||(J^T J + lam I) dx - (-J^T f)|| must be tiny relative to the
+    rhs — direct solution comparison against a dense oracle is itself
+    condition-limited (kappa ~ 1e10 on focal/pixel-scaled problems)."""
+    problem = make_synthetic_problem(n_cameras=4, n_points=10, obs_per_point=3, seed=5)
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, mode)
+    dxp, dxc = schur.solve_damped(ctx, lam, problem, mode)
+    J, _ = dense_jacobian_analytic(problem)
+    f = np.asarray(blocks.f).reshape(-1)
+    A = J.T @ J + lam * np.eye(J.shape[1])
+    b = -J.T @ f
+    dx = np.concatenate([np.asarray(dxp).reshape(-1), np.asarray(dxc).reshape(-1)])
+    assert np.all(np.isfinite(dx)), mode
+    rel = np.linalg.norm(A @ dx - b) / np.linalg.norm(b)
+    assert rel < 1e-7, (mode, lam, rel)
+    # Direct solution comparison only at well-damped lambda: BA has a ~7-dim
+    # gauge null space (global rotation/translation/scale), so at tiny lambda
+    # the system is near-singular and different exact-to-roundoff solvers
+    # legitimately return different solutions along the gauge directions.
+    if lam >= 1e-2:
+        dxp_ref, dxc_ref = dense_solve(problem, lam)
+        scale = max(np.abs(dxp_ref).max(), np.abs(dxc_ref).max())
+        np.testing.assert_allclose(np.asarray(dxp), dxp_ref, atol=1e-3 * scale)
+        np.testing.assert_allclose(np.asarray(dxc), dxc_ref, atol=1e-3 * scale)
+
+
+@pytest.mark.parametrize("mode", ["cholesky", "qrchol", "moreqr"])
+def test_initial_lambda(mode):
+    problem = make_synthetic_problem(seed=2)
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, mode)
+    J, _ = dense_jacobian_analytic(problem)
+    col_sq = (J * J).sum(axis=0)
+    lam = float(schur.initial_lambda(ctx, mode))
+    if mode in ("cholesky", "qrchol"):
+        np.testing.assert_allclose(lam, 1e-12 * col_sq.max(), rtol=1e-9)
+    else:
+        np.testing.assert_allclose(lam, 1e-6 * np.sqrt(col_sq.max()), rtol=1e-9)
+
+
+def test_gradient_dot_matches_dense():
+    problem = make_synthetic_problem(seed=4)
+    lam = 0.37
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, "cholesky")
+    dxp, dxc = schur.solve_damped(ctx, lam, problem, "cholesky")
+    J, _ = dense_jacobian_analytic(problem)
+    f = np.asarray(blocks.f).reshape(-1)
+    m = problem.n_points
+    dx = np.concatenate(
+        [np.asarray(dxp).reshape(-1), np.asarray(dxc).reshape(-1)]
+    )
+    jtres = -J.T @ f
+    expected = dx @ (lam * dx + jtres)
+    got = float(schur.gradient_dot(ctx, dxp, dxc, lam))
+    np.testing.assert_allclose(got, expected, rtol=1e-8)
