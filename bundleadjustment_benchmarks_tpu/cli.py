@@ -72,8 +72,12 @@ def main(argv=None) -> int:
 
     import jax
 
-    if args.dtype == "f64":
-        jax.config.update("jax_enable_x64", True)
+    # x64 always on. --dtype f64 = everything f64. --dtype f32 = MIXED
+    # precision: state/geometry/small reductions stay f64 (BAL far-field
+    # points make R X + T catastrophically cancel in f32 — pure f32 cannot
+    # even evaluate the energy to pixel accuracy), while the big Schur
+    # matmuls (the O(M N^2) FLOPs) run on the MXU in f32.
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from bundleadjustment_benchmarks_tpu.models.problem import load_bal_problem
@@ -83,11 +87,11 @@ def main(argv=None) -> int:
     log = logger.create_logger(args.log_file)
     log.log(logger.INFO, "Computation STARTED!")
 
-    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    matmul_dtype = None if args.dtype == "f64" else "float32"
     try:
         problem = load_bal_problem(
             args.problem,
-            dtype=dtype,
+            dtype=jnp.float64,
             inlier_threshold=args.inlier_threshold,
             avg_focal_length=AVG_FOCAL_LENGTH,
         )
@@ -113,6 +117,7 @@ def main(argv=None) -> int:
         verbose=not args.quiet,
         drive=args.drive,
         discard_final_step=not args.keep_final_step,
+        matmul_dtype=matmul_dtype,
     )
     begin = time.perf_counter()
     result = lm.minimize(problem, mode=args.solver, config=cfg)

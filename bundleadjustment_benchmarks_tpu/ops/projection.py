@@ -124,7 +124,14 @@ def residuals(state, obs, tau2) -> jax.Array:
     return r * robust.robust_scale(tau2, r)[..., None]
 
 
+def accumulation_dtype(dtype):
+    """f64 accumulation for f32 storage when x64 is on (mixed precision):
+    scalars like the energy cost nothing in f64 but keep the LM accept test
+    and flatline check meaningful at f32 array precision."""
+    return jnp.float64 if jax.config.jax_enable_x64 else dtype
+
+
 def energy(state, obs, tau2) -> jax.Array:
     """LM objective: squared norm of the robustified residual vector."""
     f = residuals(state, obs, tau2)
-    return jnp.sum(f * f)
+    return jnp.sum(f * f, dtype=accumulation_dtype(f.dtype))

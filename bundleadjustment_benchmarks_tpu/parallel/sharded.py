@@ -33,7 +33,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bundleadjustment_benchmarks_tpu.models import problem as problem_mod
@@ -222,7 +222,8 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
     def prepare_body(state, obs_local, table_local):
         state_local = state  # cameras replicated, points already local
         blocks = _local_blocks(state_local, obs_local, tau2)
-        energy = jax.lax.psum(jnp.sum(blocks.f * blocks.f), axis)
+        acc = projection.accumulation_dtype(blocks.f.dtype)
+        energy = jax.lax.psum(jnp.sum(blocks.f * blocks.f, dtype=acc), axis)
         ctx = schur.build_context(blocks, local_view(obs_local, table_local), mode)
         U = jax.lax.psum(ctx.U, axis)
         g_cams = jax.lax.psum(ctx.g_cams, axis)
@@ -257,7 +258,7 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
         mesh=mesh,
         in_specs=(state_spec, obs_spec, P(axis)),
         out_specs=(ctx_spec, P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     # ---- trial: local factors, psum'd reduced system, local back-sub. ----
@@ -323,17 +324,18 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
             dxp = jnp.einsum("mji,mj->mi", Linv, y2)
 
         x_test = problem_mod.apply_step(state, dxp, dxc)
+        acc = projection.accumulation_dtype(dtype)
         e_test = jax.lax.psum(
-            jnp.sum(
-                (_local_blocks(x_test, obs_local, tau2).f) ** 2
-            ),
+            jnp.sum((_local_blocks(x_test, obs_local, tau2).f) ** 2, dtype=acc),
             axis,
         )
-        jtres_dot = jnp.sum(dxc * ctx.g_cams) + jax.lax.psum(
-            jnp.sum(dxp * ctx.g_pts), axis
+        jtres_dot = jnp.sum(dxc * ctx.g_cams, dtype=acc) + jax.lax.psum(
+            jnp.sum(dxp * ctx.g_pts, dtype=acc), axis
         )
-        dx_norm2 = jnp.sum(dxc * dxc) + jax.lax.psum(jnp.sum(dxp * dxp), axis)
-        rho_scale = lam * dx_norm2 + jtres_dot
+        dx_norm2 = jnp.sum(dxc * dxc, dtype=acc) + jax.lax.psum(
+            jnp.sum(dxp * dxp, dtype=acc), axis
+        )
+        rho_scale = jnp.asarray(lam, acc) * dx_norm2 + jtres_dot
         return x_test, e_test, rho_scale
 
     trial_sm = shard_map(
@@ -341,7 +343,7 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
         mesh=mesh,
         in_specs=(ctx_spec, state_spec, P(), obs_spec, P(axis)),
         out_specs=(state_spec, P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     def prepare(state):

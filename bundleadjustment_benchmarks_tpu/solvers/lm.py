@@ -89,6 +89,10 @@ class LMConfig:
     discard_final_step: bool = True
     verbose: bool = False
     drive: str = "jit"  # "jit" | "host"
+    #: Mixed precision: dtype name ("float32"/"bfloat16") for the big Schur
+    #: matmuls while state/geometry/reductions stay in the problem dtype.
+    #: None = same as the problem dtype. See schur.build_context.
+    matmul_dtype: Optional[str] = None
     #: History depth of the flatline test (BacktrackLevMarqCholesky.h:150).
     energy_history_size: int = 2
 
@@ -107,20 +111,27 @@ class LMResult(NamedTuple):
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
-def _prepare(state, problem, mode: str):
+def _mm(matmul_dtype):
+    return jnp.dtype(matmul_dtype) if matmul_dtype else None
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
+def _prepare(state, problem, mode: str, matmul_dtype: Optional[str] = None):
     """Residuals + Jacobian + lambda-independent solver context (once per outer iter)."""
     blocks = jacobian.residuals_and_jacobian(state, problem.obs, problem.tau2)
-    energy = jnp.sum(blocks.f * blocks.f)
-    ctx = schur.build_context(blocks, problem, mode)
-    lam0 = schur.initial_lambda(ctx, mode).astype(energy.dtype)
+    acc = projection.accumulation_dtype(blocks.f.dtype)
+    energy = jnp.sum(blocks.f * blocks.f, dtype=acc)
+    ctx = schur.build_context(blocks, problem, mode, mm_dtype=_mm(matmul_dtype))
+    lam0 = schur.initial_lambda(ctx, mode).astype(acc)
     return ctx, energy, lam0
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
-def _trial(ctx, state, lam, problem, mode: str):
+@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
+def _trial(ctx, state, lam, problem, mode: str, matmul_dtype: Optional[str] = None):
     """One damping trial: solve, step, re-evaluate energy (inner-loop work)."""
-    dxp, dxc = schur.solve_damped(ctx, lam, problem, mode)
+    dxp, dxc = schur.solve_damped(
+        ctx, lam, problem, mode, mm_dtype=_mm(matmul_dtype)
+    )
     x_test = problem_mod.apply_step(state, dxp, dxc)
     e_test = projection.energy(x_test, problem.obs, problem.tau2)
     rho_scale = schur.gradient_dot(ctx, dxp, dxc, lam)
@@ -144,7 +155,14 @@ class _OuterState(NamedTuple):
 
 
 def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
-    """The traced LM loop; call inside jit with closed-over kernels."""
+    """The traced LM loop; call inside jit with closed-over kernels.
+
+    LM scalars (lambda, nu, energy history) live in the accumulation dtype:
+    f64 under x64 even for f32 array storage, so accept/flatline decisions
+    keep full precision (mixed-precision recipe, SURVEY.md section 7)."""
+    from bundleadjustment_benchmarks_tpu.ops.projection import accumulation_dtype
+
+    dtype = accumulation_dtype(dtype)
     running = jnp.int32(int(LMStatus.Running))
 
     def outer_cond(st: _OuterState):
@@ -271,8 +289,10 @@ def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
 @functools.partial(jax.jit, static_argnames=("mode", "config"))
 def _minimize_jit(state0, problem, mode: str, config: LMConfig):
     dtype = state0.T.dtype
-    prepare = lambda s: _prepare(s, problem, mode)  # noqa: E731
-    trial = lambda ctx, s, lam: _trial(ctx, s, lam, problem, mode)  # noqa: E731
+    prepare = lambda s: _prepare(s, problem, mode, config.matmul_dtype)  # noqa: E731
+    trial = lambda ctx, s, lam: _trial(  # noqa: E731
+        ctx, s, lam, problem, mode, config.matmul_dtype
+    )
     return lm_loop(state0, prepare, trial, config, dtype)
 
 

@@ -103,9 +103,19 @@ def _scatter_z(Ct: jax.Array, cam_idx, pt_idx, n_cameras: int, n_points: int):
 
 
 def build_context(
-    blocks: JacobianBlocks, problem, mode: str
+    blocks: JacobianBlocks, problem, mode: str, mm_dtype=None
 ) -> SchurContext:
-    """Assemble normal-equation blocks + mode-specific cached factors from J."""
+    """Assemble normal-equation blocks + mode-specific cached factors from J.
+
+    ``mm_dtype`` (mixed precision): dtype for the LARGE lambda-independent
+    operands that feed the O(M * (9N)^2) matmuls — Z0 and the stacked camera
+    rows. Everything O(K)-sized (U, V, W, gradients, point stacks) stays in
+    the blocks' dtype: BAL geometry needs f64 (far points make R X + T
+    catastrophically cancel in f32, and V's f32 formation error exceeds any
+    reasonable damping), while the MXU-heavy matmuls are fine in f32 once
+    their operands are point-whitened. See solve_damped for the per-trial
+    half of the recipe.
+    """
     obs = problem.obs
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
     n, m = problem.n_cameras, problem.n_points
@@ -128,6 +138,7 @@ def build_context(
     )
 
     point_factor, camera_solver = MODE_STRATEGY[mode]
+    mm = mm_dtype or Jc.dtype
     Jp_stacked = Jc_stacked = rhs_stacked = None
     evecs = evals = Z0 = y0 = None
 
@@ -140,15 +151,17 @@ def build_context(
         if camera_solver == "qr":
             Jc_ext = jnp.concatenate([Jc, jnp.zeros((1, 2, 9), Jc.dtype)], axis=0)
             f_ext = jnp.concatenate([f, jnp.zeros((1, 2), f.dtype)], axis=0)
-            Jc_stacked = Jc_ext[problem.pt_obs_idx].reshape(m, 2 * lmax, 9)
-            rhs_stacked = (-f_ext[problem.pt_obs_idx]).reshape(m, 2 * lmax)
+            Jc_stacked = Jc_ext[problem.pt_obs_idx].reshape(m, 2 * lmax, 9).astype(mm)
+            rhs_stacked = (
+                (-f_ext[problem.pt_obs_idx]).reshape(m, 2 * lmax).astype(mm)
+            )
     elif point_factor == "eig":
         # More-style amortization: eigendecompose V once; damping trials only
         # rescale by (d + lambda)^-1. eigh of batched 3x3 symmetric blocks.
         evals_raw, evecs = jnp.linalg.eigh(V)
         evals = jnp.maximum(evals_raw, 0.0)
         WQ = jnp.einsum("kij,kjl->kil", W, evecs[pt_idx])  # (K, 9, 3)
-        Z0 = _scatter_z(WQ.transpose(0, 2, 1), cam_idx, pt_idx, n, m)
+        Z0 = _scatter_z(WQ.transpose(0, 2, 1).astype(mm), cam_idx, pt_idx, n, m)
         y0 = jnp.einsum("mji,mj->mi", evecs, g_pts)  # Q^T g per point
 
     return SchurContext(
@@ -202,58 +215,89 @@ def _point_factor_inv(ctx: SchurContext, lam, mode: str, dtype):
     raise ValueError(f"no explicit point factor for mode {mode}")
 
 
-def _reduced_system_chol(ctx, lam, cam_idx, pt_idx, n, m, Linv):
-    """Form S = blkdiag(U + lam I) - Z^T Z and rhs b; one big MXU matmul."""
+def _reduced_system_chol(ctx, lam, cam_idx, pt_idx, n, m, Linv, mm):
+    """Form S = blkdiag(U + lam I) - Z^T Z and rhs b; one big MXU matmul.
+
+    The Z scatter and Z^T Z run in ``mm`` (f32 on TPU); Z's entries are
+    point-whitened (C = W L^-T), so their scale is tame. The assembled S and
+    rhs are promoted back to the accurate dtype for the reduced solve.
+    """
     dtype = ctx.U.dtype
     # C_i = W_i L_p^-T  (point-whitened coupling), scattered as Z.
     C = jnp.einsum("kij,kcj->kic", ctx.W, Linv[pt_idx])  # W @ Linv^T: (K, 9, 3)
-    Z = _scatter_z(C.transpose(0, 2, 1), cam_idx, pt_idx, n, m)
-    S = -(Z.T @ Z)
+    Z = _scatter_z(C.transpose(0, 2, 1).astype(mm), cam_idx, pt_idx, n, m)
+    S = -(Z.T @ Z).astype(dtype)
     S4 = S.reshape(n, 9, n, 9)
     ar = jnp.arange(n)
     S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
     S = S4.reshape(9 * n, 9 * n)
     y = jnp.einsum("mij,mj->mi", Linv, ctx.g_pts)  # L^-1 g_p
-    b = ctx.g_cams.reshape(-1) - Z.T @ y.reshape(-1)
+    b = ctx.g_cams.reshape(-1) - (Z.T @ y.reshape(-1).astype(mm)).astype(dtype)
     return S, b
 
 
 def _camera_solve_chol(S, b):
     """Direct solve of the reduced camera system (the SimplicialLDLT analog).
 
-    QR rather than plain Cholesky: at very small lambda the Schur subtraction
-    S = blkdiag(U) - Z^T Z can leave S indefinite at the 1e-10-relative level
-    (cancellation), which LLT turns into NaN while the reference's LDLT
-    tolerates it; QR is backward-stable for any invertible S (and f64 LU is
-    not implemented by the TPU compiler stack). If the solve still produces
-    NaN (S singular), the LM driver rejects the step and raises lambda —
-    graceful degradation.
+    Three robustness measures that the reference gets from f64 + AMD-permuted
+    LDLT and that a TPU-f32 path needs explicitly:
+
+      * Jacobi (symmetric diagonal) scaling: BA columns span ~6 orders of
+        magnitude (translation/rotation columns carry the focal length,
+        distortion columns don't), which alone squares into a ~1e12
+        condition number for S. D S D with D = diag(S)^-1/2 removes the
+        scale spread — standard BA practice.
+      * the factorization runs in f64 when x64 is enabled: S is only
+        (9N)^2 <= ~2313^2, so a f64 solve costs nothing next to the Z^T Z
+        matmul that produced S in f32 — the SURVEY.md 'f32 storage, f64
+        reductions' mixed-precision recipe.
+      * QR rather than plain Cholesky: at very small lambda the Schur
+        subtraction S = blkdiag(U) - Z^T Z can leave S indefinite at the
+        1e-10-relative level (cancellation), which LLT turns into NaN while
+        the reference's LDLT tolerates it; QR is backward-stable for any
+        invertible S (and f64 LU is not implemented by this compiler stack).
+
+    If the solve still produces NaN (S singular), the LM driver rejects the
+    step and raises lambda — graceful degradation.
     """
-    Q, R = jnp.linalg.qr(S)
-    return jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+    in_dtype = S.dtype
+    solve_dtype = jnp.float64 if jax.config.jax_enable_x64 else in_dtype
+    S = S.astype(solve_dtype)
+    b = b.astype(solve_dtype)
+    d = jnp.diagonal(S)
+    dinv = jnp.where(d > 0, jax.lax.rsqrt(jnp.abs(d) + 1e-38), 1.0)
+    Ss = S * dinv[:, None] * dinv[None, :]
+    Q, R = jnp.linalg.qr(Ss)
+    y = jax.scipy.linalg.solve_triangular(R, Q.T @ (b * dinv), lower=False)
+    return (y * dinv).astype(in_dtype)
 
 
-def solve_damped(ctx: SchurContext, lam, problem, mode: str):
+def solve_damped(ctx: SchurContext, lam, problem, mode: str, mm_dtype=None):
     """Solve (J^T J + lam I) dx = -J^T f; returns (dx_pts (M,3), dx_cams (N,9)).
 
     This is the inner-damping-loop work item: everything lambda-dependent.
+    ``mm_dtype``: dtype of the big matmuls (see build_context; must match the
+    value the context was built with).
     """
     obs = problem.obs
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
     n, m = problem.n_cameras, problem.n_points
     dtype = ctx.U.dtype
+    mm = mm_dtype or dtype
     lam = jnp.asarray(lam, dtype)
     point_factor, camera_solver = MODE_STRATEGY[mode]
 
     if point_factor == "eig":
         winv = 1.0 / (ctx.evals + lam)  # (M, 3)
-        Zw = ctx.Z0 * winv.reshape(-1)[:, None]
-        S = -(ctx.Z0.T @ Zw)
+        Zw = ctx.Z0 * winv.reshape(-1)[:, None].astype(mm)
+        S = -(ctx.Z0.T @ Zw).astype(dtype)
         S4 = S.reshape(n, 9, n, 9)
         ar = jnp.arange(n)
         S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
         S = S4.reshape(9 * n, 9 * n)
-        b = ctx.g_cams.reshape(-1) - ctx.Z0.T @ (ctx.y0 * winv).reshape(-1)
+        b = ctx.g_cams.reshape(-1) - (
+            ctx.Z0.T @ (ctx.y0 * winv).reshape(-1).astype(mm)
+        ).astype(dtype)
         dxc = _camera_solve_chol(S, b).reshape(n, 9)
         # Back-substitution in the eigenbasis.
         t = ctx.g_pts - jax.ops.segment_sum(
@@ -267,10 +311,10 @@ def solve_damped(ctx: SchurContext, lam, problem, mode: str):
     Linv = _point_factor_inv(ctx, lam, mode, dtype)
 
     if camera_solver == "chol":
-        S, b = _reduced_system_chol(ctx, lam, cam_idx, pt_idx, n, m, Linv)
+        S, b = _reduced_system_chol(ctx, lam, cam_idx, pt_idx, n, m, Linv, mm)
         dxc = _camera_solve_chol(S, b).reshape(n, 9)
     else:
-        dxc = camera_solve_qr(ctx, lam, problem, Linv).reshape(n, 9)
+        dxc = camera_solve_qr(ctx, lam, problem, Linv, mm_dtype=mm).reshape(n, 9)
 
     # Shared back-substitution: Vhat dx_p = g_p - sum_i W_i^T dx_c(i).
     t = ctx.g_pts - jax.ops.segment_sum(
@@ -281,14 +325,20 @@ def solve_damped(ctx: SchurContext, lam, problem, mode: str):
     return dxp, dxc
 
 
-def camera_solve_qr(ctx: SchurContext, lam, problem, Linv, chunk_points: int = 512):
+def camera_solve_qr(
+    ctx: SchurContext, lam, problem, Linv, chunk_points: int = 512, mm_dtype=None
+):
     """Genuine QR camera solve (see camera_tsqr_reduce for the reduction)."""
-    R_reduced = camera_tsqr_reduce(ctx, lam, problem, Linv, chunk_points)
-    return finish_camera_qr(R_reduced, lam, problem.n_cameras)
+    R_reduced = camera_tsqr_reduce(
+        ctx, lam, problem, Linv, chunk_points, mm_dtype=mm_dtype
+    )
+    return finish_camera_qr(
+        R_reduced.astype(ctx.U.dtype), lam, problem.n_cameras
+    )
 
 
 def camera_tsqr_reduce(
-    ctx: SchurContext, lam, problem, Linv, chunk_points: int = 512
+    ctx: SchurContext, lam, problem, Linv, chunk_points: int = 512, mm_dtype=None
 ):
     """Chunked TSQR reduction over point-projected camera rows -> R factor.
 
@@ -304,7 +354,7 @@ def camera_tsqr_reduce(
     """
     obs = problem.obs
     n, m = problem.n_cameras, problem.n_points
-    dtype = ctx.U.dtype
+    dtype = mm_dtype or ctx.U.dtype  # the reduction runs in the matmul dtype
     lmax = problem.pt_obs_idx.shape[1]
     ncols = 9 * n + 1
     chunk_points = max(1, min(chunk_points, m))
@@ -315,9 +365,11 @@ def camera_tsqr_reduce(
     cam_ext = jnp.concatenate([obs.cam_idx, jnp.zeros((1,), obs.cam_idx.dtype)])
     cam_per_slot = cam_ext[problem.pt_obs_idx]  # (M, Lmax)
 
+    # Q1 is computed in the accurate dtype (it encodes the point factor),
+    # then cast for the bulk reduction.
     Q1_obs = jnp.einsum("mrj,mcj->mrc", ctx.Jp_stacked, Linv)  # (M, 2Lmax, 3)
     Q1_lam = sl * jnp.swapaxes(Linv, -1, -2)  # (M, 3, 3)
-    Q1 = jnp.concatenate([Q1_obs, Q1_lam], axis=1)  # (M, 2Lmax+3, 3)
+    Q1 = jnp.concatenate([Q1_obs, Q1_lam], axis=1).astype(dtype)
 
     rows_per_point = 2 * lmax + 3
     nchunks = -(-m // chunk_points)
@@ -381,7 +433,12 @@ def finish_camera_qr(R_reduced, lam, n_cameras: int):
 
 
 def gradient_dot(ctx: SchurContext, dxp, dxc, lam):
-    """rhoScale = dx^T (lam dx + JtRes) (BacktrackLevMarqCholesky.h:300)."""
-    jtres_dot = jnp.sum(dxc * ctx.g_cams) + jnp.sum(dxp * ctx.g_pts)
-    dx_norm2 = jnp.sum(dxc * dxc) + jnp.sum(dxp * dxp)
-    return lam * dx_norm2 + jtres_dot
+    """rhoScale = dx^T (lam dx + JtRes) (BacktrackLevMarqCholesky.h:300).
+
+    Accumulated in f64 under x64 (mixed precision: scalar reductions are free)."""
+    acc = jnp.float64 if jax.config.jax_enable_x64 else dxc.dtype
+    jtres_dot = jnp.sum(dxc * ctx.g_cams, dtype=acc) + jnp.sum(
+        dxp * ctx.g_pts, dtype=acc
+    )
+    dx_norm2 = jnp.sum(dxc * dxc, dtype=acc) + jnp.sum(dxp * dxp, dtype=acc)
+    return jnp.asarray(lam, acc) * dx_norm2 + jtres_dot

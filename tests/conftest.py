@@ -7,7 +7,7 @@ TPU path is exercised by bench.py.  Must run before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the harness presets a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is insufficient if jax was imported before this conftest
+# (jax snapshots JAX_PLATFORMS into its config at import time).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Compiles in this environment go through a slow remote helper; cache them.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -38,58 +41,17 @@ def problem21():
 
 def make_synthetic_problem(n_cameras=4, n_points=12, obs_per_point=3, seed=0, noise=5e-3):
     """Small random BA problem with BAL-like conventions for unit tests."""
-    import jax.numpy as jnp
-
-    from bundleadjustment_benchmarks_tpu.io.bal import BalDataset
-    from bundleadjustment_benchmarks_tpu.models.problem import from_bal_dataset
-    from bundleadjustment_benchmarks_tpu.ops import rodrigues
-
-    rng = np.random.default_rng(seed)
-    # Cameras looking roughly down -z at points near origin (BAL convention).
-    omega = rng.normal(scale=0.1, size=(n_cameras, 3))
-    translation = rng.normal(scale=0.2, size=(n_cameras, 3))
-    translation[:, 2] += 2.0  # points end up at z ~ +2 in camera frame
-    focal = rng.uniform(400.0, 600.0, size=n_cameras)
-    k1 = rng.normal(scale=1e-8, size=n_cameras)
-    k2 = rng.normal(scale=1e-14, size=n_cameras)
-    points = rng.normal(scale=0.5, size=(n_points, 3))
-
-    cam_idx = []
-    pt_idx = []
-    for p in range(n_points):
-        cams = rng.choice(n_cameras, size=min(obs_per_point, n_cameras), replace=False)
-        for c in cams:
-            cam_idx.append(c)
-            pt_idx.append(p)
-    cam_idx = np.array(cam_idx, dtype=np.int32)
-    pt_idx = np.array(pt_idx, dtype=np.int32)
-
-    # Generate measurements by projecting with the reference conventions
-    # (negative focal, prescaled distortion), plus noise.
-    R = np.asarray(rodrigues.exp_rodrigues(jnp.asarray(omega)))
-    meas = []
-    for c, p in zip(cam_idx, pt_idx):
-        XX = R[c] @ points[p] + translation[c]
-        xu = XX[:2] / XX[2]
-        r2 = float(xu @ xu)
-        pk1 = k1[c] * focal[c] ** 2
-        pk2 = k2[c] * focal[c] ** 4
-        kr = 1 + pk1 * r2 + pk2 * r2 * r2
-        meas.append(-focal[c] * kr * xu)
-    meas = np.array(meas) + rng.normal(scale=noise, size=(len(cam_idx), 2))
-
-    ds = BalDataset(
-        cam_idx=cam_idx,
-        pt_idx=pt_idx,
-        measurements=meas,
-        omega=omega,
-        translation=translation,
-        focal=focal,
-        k1=k1,
-        k2=k2,
-        points=points + rng.normal(scale=1e-3, size=points.shape),
+    from bundleadjustment_benchmarks_tpu.utils.synthetic import (
+        make_synthetic_problem as _make,
     )
-    return from_bal_dataset(ds)
+
+    return _make(
+        n_cameras=n_cameras,
+        n_points=n_points,
+        obs_per_point=obs_per_point,
+        seed=seed,
+        noise=noise,
+    )
 
 
 @pytest.fixture()

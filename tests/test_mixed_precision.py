@@ -1,0 +1,51 @@
+"""Mixed-precision path: f64 geometry + f32 Schur matmuls must still converge.
+
+Pure-f32 BA on BAL-scale data is numerically impossible (far-field points
+make R X + T catastrophically cancel; V's f32 formation error exceeds any
+reasonable damping) — verified empirically on problem-21. The supported fast
+path is mixed: LMConfig(matmul_dtype='float32').
+"""
+
+import numpy as np
+import pytest
+
+from bundleadjustment_benchmarks_tpu.ops import jacobian, projection
+from bundleadjustment_benchmarks_tpu.solvers import lm, schur
+
+from conftest import make_synthetic_problem
+
+
+@pytest.mark.parametrize("mode", schur.MODES)
+def test_mixed_solve_close_to_f64(mode):
+    problem = make_synthetic_problem(n_cameras=4, n_points=12, obs_per_point=3, seed=6)
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    lam = 0.05
+    ctx64 = schur.build_context(blocks, problem, mode)
+    dxp64, dxc64 = schur.solve_damped(ctx64, lam, problem, mode)
+    import jax.numpy as jnp
+
+    ctx32 = schur.build_context(blocks, problem, mode, mm_dtype=jnp.float32)
+    dxp32, dxc32 = schur.solve_damped(
+        ctx32, lam, problem, mode, mm_dtype=jnp.float32
+    )
+    # f32 matmul roundoff is amplified by the reduced system's (Jacobi-
+    # scaled) conditioning; ~1e-3 relative agreement is the expected regime,
+    # and LM-level convergence (below) is the functional criterion.
+    scale = float(np.abs(np.asarray(dxc64)).max())
+    np.testing.assert_allclose(
+        np.asarray(dxc32), np.asarray(dxc64), atol=1e-2 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(dxp32), np.asarray(dxp64),
+        atol=1e-2 * float(np.abs(np.asarray(dxp64)).max()),
+    )
+
+
+def test_mixed_lm_converges():
+    problem = make_synthetic_problem(n_cameras=4, n_points=20, obs_per_point=3, seed=7)
+    e0 = float(projection.energy(problem.state, problem.obs, problem.tau2))
+    cfg = lm.LMConfig(drive="jit", max_iter=15, matmul_dtype="float32")
+    res = lm.minimize(problem, mode="cholesky", config=cfg)
+    assert res.energy < 0.5 * e0

@@ -1,0 +1,90 @@
+"""Distributed Schur tests on a virtual 8-device CPU mesh.
+
+The N-device sharded path must match the single-device path numerically
+(SURVEY.md section 4: 'N-device sharded Schur reduction is bit-compared with
+the single-device path without a real pod').
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from bundleadjustment_benchmarks_tpu.parallel import sharded
+from bundleadjustment_benchmarks_tpu.solvers import lm
+
+from conftest import make_synthetic_problem
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return sharded.make_mesh(8)
+
+
+def test_shard_problem_layout(mesh8):
+    problem = make_synthetic_problem(n_cameras=4, n_points=30, obs_per_point=3, seed=0)
+    sp = sharded.shard_problem(problem, mesh8)
+    assert sp.n_shards == 8
+    # Total real observations preserved.
+    w = np.asarray(sp.obs.weights)
+    assert int(w.sum()) == problem.n_observations
+    # All real points preserved in order.
+    pts = np.asarray(sharded.unshard_points(sp, sp.state))
+    np.testing.assert_array_equal(pts, np.asarray(problem.state.points))
+
+
+@pytest.mark.parametrize("mode", ["cholesky", "qrchol", "moreqr", "qrkit"])
+def test_sharded_prepare_matches_single(mesh8, mode):
+    problem = make_synthetic_problem(n_cameras=4, n_points=30, obs_per_point=3, seed=1)
+    sp = sharded.shard_problem(problem, mesh8)
+    prepare, _ = sharded.make_sharded_kernels(sp, mesh8, mode)
+    ctx_sh, energy_sh, lam0_sh = jax.jit(prepare)(sp.state)
+
+    from bundleadjustment_benchmarks_tpu.solvers.lm import _prepare
+
+    ctx, energy, lam0 = _prepare(problem.state, problem, mode)
+    np.testing.assert_allclose(float(energy_sh), float(energy), rtol=1e-12)
+    np.testing.assert_allclose(float(lam0_sh), float(lam0), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(ctx_sh.U), np.asarray(ctx.U), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(ctx_sh.g_cams), np.asarray(ctx.g_cams), rtol=1e-9, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("mode", ["cholesky", "qrkit"])
+def test_sharded_trial_matches_single(mesh8, mode):
+    problem = make_synthetic_problem(n_cameras=4, n_points=30, obs_per_point=3, seed=2)
+    sp = sharded.shard_problem(problem, mesh8)
+    prepare, trial = sharded.make_sharded_kernels(sp, mesh8, mode)
+    ctx_sh, energy_sh, _ = jax.jit(prepare)(sp.state)
+    lam = 0.05
+    x_sh, e_sh, rho_sh = jax.jit(trial)(ctx_sh, sp.state, lam)
+
+    from bundleadjustment_benchmarks_tpu.solvers.lm import _prepare, _trial
+
+    ctx, _, _ = _prepare(problem.state, problem, mode)
+    x, e, rho = _trial(ctx, problem.state, lam, problem, mode)
+    np.testing.assert_allclose(float(e_sh), float(e), rtol=1e-9)
+    np.testing.assert_allclose(float(rho_sh), float(rho), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(sharded.unshard_points(sp, x_sh)),
+        np.asarray(x.points),
+        rtol=1e-7,
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_sh.T), np.asarray(x.T), rtol=1e-7, atol=1e-12
+    )
+
+
+def test_sharded_minimize_matches_single(mesh8):
+    problem = make_synthetic_problem(n_cameras=4, n_points=24, obs_per_point=3, seed=3)
+    sp = sharded.shard_problem(problem, mesh8)
+    cfg = lm.LMConfig(drive="host", max_iter=8)
+    res_sh = sharded.minimize_sharded(sp, mesh8, mode="cholesky", config=cfg)
+    res = lm.minimize(problem, mode="cholesky", config=cfg)
+    assert res_sh.iterations == res.iterations
+    assert res_sh.fun_evals == res.fun_evals
+    np.testing.assert_allclose(res_sh.energy, res.energy, rtol=1e-8)
