@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -72,6 +73,12 @@ def main(argv=None) -> int:
 
     import jax
 
+    # Persistent compilation cache (first compiles in this environment go
+    # through a slow remote helper; cache across CLI invocations).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
     # x64 always on. --dtype f64 = everything f64. --dtype f32 = MIXED
     # precision: state/geometry/small reductions stay f64 (BAL far-field
     # points make R X + T catastrophically cancel in f32 — pure f32 cannot

@@ -226,6 +226,11 @@ def apply_step(state: BAState, dx_points: jax.Array, dx_cams: jax.Array) -> BASt
     (M, 3). Semantics: T += dT; R <- exp([domega]_x) @ R0 (LEFT-multiplied
     incremental Rodrigues); k1/k2 += d; K(0,0) and K(1,1) += df; points += dX.
     """
+    # Steps may arrive in a lower compute dtype (mixed precision); the
+    # manifold update itself runs in the state dtype so rotation updates
+    # don't accumulate low-precision drift across iterations.
+    dx_cams = dx_cams.astype(state.T.dtype)
+    dx_points = dx_points.astype(state.points.dtype)
     dT = dx_cams[:, 0:3]
     domega = dx_cams[:, 3:6]
     df = dx_cams[:, 6]

@@ -43,12 +43,19 @@ class JacobianBlocks(NamedTuple):
     f: jax.Array  # (K, 2) robustified residuals at the same state
 
 
-def residuals_and_jacobian(state, obs, tau2) -> JacobianBlocks:
+def residuals_and_jacobian(state, obs, tau2, compute_dtype=None) -> JacobianBlocks:
     """Evaluate robustified residuals and their analytic Jacobian blocks.
 
     One fused pass over observations (the reference evaluates the projection
     twice — once in E_pos, once in dE_pos:229 — we share the computation; the
     values are identical).
+
+    ``compute_dtype`` (mixed precision): the world->camera transform
+    XX = R X + T always runs in the STATE dtype — BAL far-field points
+    (|X| ~ 1e4, z ~ 4) cancel catastrophically below f64 — and everything
+    downstream (normalized coordinates, distortion, robust chain) runs in
+    ``compute_dtype``; after the division by z all quantities are O(1)-to-
+    O(f) and f32-safe. None = state dtype throughout.
     """
     R = state.R[obs.cam_idx]
     T = state.T[obs.cam_idx]
@@ -58,6 +65,19 @@ def residuals_and_jacobian(state, obs, tau2) -> JacobianBlocks:
     X = state.points[obs.pt_idx]
 
     XX = projection.transform_into_camera_space(R, T, X)
+    if compute_dtype is not None and XX.dtype != compute_dtype:
+        XX = XX.astype(compute_dtype)
+        R = R.astype(compute_dtype)
+        T = T.astype(compute_dtype)
+        focal = focal.astype(compute_dtype)
+        k1 = k1.astype(compute_dtype)
+        k2 = k2.astype(compute_dtype)
+        obs = type(obs)(
+            cam_idx=obs.cam_idx,
+            pt_idx=obs.pt_idx,
+            measurements=obs.measurements.astype(compute_dtype),
+            weights=obs.weights,
+        )
     z = XX[..., 2]
     xu = XX[..., :2] / z[..., None]
     xd = projection.distort(k1, k2, xu)

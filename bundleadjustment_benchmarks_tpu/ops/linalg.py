@@ -22,16 +22,36 @@ import jax
 import jax.numpy as jnp
 
 
-def cholesky3x3(A: jax.Array) -> jax.Array:
-    """Lower Cholesky factor of SPD (..., 3, 3) blocks, closed form."""
+def cholesky3x3(A: jax.Array, clamp: bool = False) -> jax.Array:
+    """Lower Cholesky factor of SPD (..., 3, 3) blocks, closed form.
+
+    ``clamp=True`` floors each pivot at a tiny positive fraction of the
+    leading diagonal before the sqrt — the LDLT-like graceful handling of
+    blocks whose small eigenvalues are below the dtype's formation noise
+    (then L L^T factors a minutely modified, SPD block instead of NaN-ing).
+    """
     a11, a21, a31 = A[..., 0, 0], A[..., 1, 0], A[..., 2, 0]
     a22, a32, a33 = A[..., 1, 1], A[..., 2, 1], A[..., 2, 2]
-    l11 = jnp.sqrt(a11)
+
+    if clamp:
+        floor = jnp.asarray(1e-12, A.dtype) * jnp.maximum(
+            a11, jnp.maximum(a22, a33)
+        )
+
+        def piv(x):
+            return jnp.sqrt(jnp.maximum(x, floor))
+
+    else:
+
+        def piv(x):
+            return jnp.sqrt(x)
+
+    l11 = piv(a11)
     l21 = a21 / l11
     l31 = a31 / l11
-    l22 = jnp.sqrt(a22 - l21 * l21)
+    l22 = piv(a22 - l21 * l21)
     l32 = (a32 - l31 * l21) / l22
-    l33 = jnp.sqrt(a33 - l31 * l31 - l32 * l32)
+    l33 = piv(a33 - l31 * l31 - l32 * l32)
     zero = jnp.zeros_like(l11)
     return jnp.stack(
         [

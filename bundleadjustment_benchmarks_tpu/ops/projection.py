@@ -104,23 +104,38 @@ def project_affine(
     return jnp.stack([out0, out1], axis=-1)
 
 
-def residuals_raw(state, obs) -> jax.Array:
-    """Unrobustified reprojection residuals r_i = project_i - measurement_i, (K, 2)."""
+def residuals_raw(state, obs, compute_dtype=None) -> jax.Array:
+    """Unrobustified reprojection residuals r_i = project_i - measurement_i, (K, 2).
+
+    Mixed precision (``compute_dtype``): XX = R X + T stays in the state
+    dtype (far-field cancellation), the rest of the chain runs in
+    compute_dtype — see jacobian.residuals_and_jacobian.
+    """
     R = state.R[obs.cam_idx]
     T = state.T[obs.cam_idx]
     focal = state.K[obs.cam_idx, 0, 0]
     k1 = state.k1[obs.cam_idx]
     k2 = state.k2[obs.cam_idx]
     X = state.points[obs.pt_idx]
-    return project(R, T, focal, k1, k2, X) - obs.measurements
+    XX = transform_into_camera_space(R, T, X)
+    meas = obs.measurements
+    if compute_dtype is not None and XX.dtype != compute_dtype:
+        XX = XX.astype(compute_dtype)
+        focal = focal.astype(compute_dtype)
+        k1 = k1.astype(compute_dtype)
+        k2 = k2.astype(compute_dtype)
+        meas = meas.astype(compute_dtype)
+    xu = XX[..., :2] / XX[..., 2:3]
+    xd = distort(k1, k2, xu)
+    return focal[..., None] * xd - meas
 
 
-def residuals(state, obs, tau2) -> jax.Array:
+def residuals(state, obs, tau2, compute_dtype=None) -> jax.Array:
     """Robustified residual vector, (K, 2): r_i * sqrt(psi(|r|^2))/max(eps,|r|).
 
     Matches BAFunctor::E_pos (BAFunctor.h:160-178); sum(out**2) == sum(psi).
     """
-    r = residuals_raw(state, obs)
+    r = residuals_raw(state, obs, compute_dtype)
     return r * robust.robust_scale(tau2, r)[..., None]
 
 
@@ -131,7 +146,7 @@ def accumulation_dtype(dtype):
     return jnp.float64 if jax.config.jax_enable_x64 else dtype
 
 
-def energy(state, obs, tau2) -> jax.Array:
+def energy(state, obs, tau2, compute_dtype=None) -> jax.Array:
     """LM objective: squared norm of the robustified residual vector."""
-    f = residuals(state, obs, tau2)
+    f = residuals(state, obs, tau2, compute_dtype)
     return jnp.sum(f * f, dtype=accumulation_dtype(f.dtype))

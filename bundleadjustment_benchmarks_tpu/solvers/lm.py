@@ -117,11 +117,20 @@ def _mm(matmul_dtype):
 
 @functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
 def _prepare(state, problem, mode: str, matmul_dtype: Optional[str] = None):
-    """Residuals + Jacobian + lambda-independent solver context (once per outer iter)."""
-    blocks = jacobian.residuals_and_jacobian(state, problem.obs, problem.tau2)
+    """Residuals + Jacobian + lambda-independent solver context (once per outer iter).
+
+    Mixed precision (``matmul_dtype``): the Jacobian chain past the world->
+    camera transform, all block tensors and the big Schur matmuls run in this
+    dtype; the transform, point factors, reduced solve and LM scalars stay
+    accurate (see jacobian.residuals_and_jacobian / schur docstrings).
+    """
+    mm = _mm(matmul_dtype)
+    blocks = jacobian.residuals_and_jacobian(
+        state, problem.obs, problem.tau2, compute_dtype=mm
+    )
     acc = projection.accumulation_dtype(blocks.f.dtype)
     energy = jnp.sum(blocks.f * blocks.f, dtype=acc)
-    ctx = schur.build_context(blocks, problem, mode, mm_dtype=_mm(matmul_dtype))
+    ctx = schur.build_context(blocks, problem, mode, mm_dtype=mm)
     lam0 = schur.initial_lambda(ctx, mode).astype(acc)
     return ctx, energy, lam0
 
@@ -129,11 +138,10 @@ def _prepare(state, problem, mode: str, matmul_dtype: Optional[str] = None):
 @functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
 def _trial(ctx, state, lam, problem, mode: str, matmul_dtype: Optional[str] = None):
     """One damping trial: solve, step, re-evaluate energy (inner-loop work)."""
-    dxp, dxc = schur.solve_damped(
-        ctx, lam, problem, mode, mm_dtype=_mm(matmul_dtype)
-    )
+    mm = _mm(matmul_dtype)
+    dxp, dxc = schur.solve_damped(ctx, lam, problem, mode, mm_dtype=mm)
     x_test = problem_mod.apply_step(state, dxp, dxc)
-    e_test = projection.energy(x_test, problem.obs, problem.tau2)
+    e_test = projection.energy(x_test, problem.obs, problem.tau2, compute_dtype=mm)
     rho_scale = schur.gradient_dot(ctx, dxp, dxc, lam)
     return x_test, e_test, rho_scale
 

@@ -157,9 +157,13 @@ def build_context(
             )
     elif point_factor == "eig":
         # More-style amortization: eigendecompose V once; damping trials only
-        # rescale by (d + lambda)^-1. eigh of batched 3x3 symmetric blocks.
-        evals_raw, evecs = jnp.linalg.eigh(V)
-        evals = jnp.maximum(evals_raw, 0.0)
+        # rescale by (d + lambda)^-1. eigh of batched 3x3 symmetric blocks,
+        # run in the accumulation dtype (tiny; f32 eigh of ill-conditioned V
+        # is unreliable), results cast back to the blocks' dtype.
+        acc = jnp.float64 if jax.config.jax_enable_x64 else V.dtype
+        evals_raw, evecs64 = jnp.linalg.eigh(V.astype(acc))
+        evals = jnp.maximum(evals_raw, 0.0).astype(V.dtype)
+        evecs = evecs64.astype(V.dtype)
         WQ = jnp.einsum("kij,kjl->kil", W, evecs[pt_idx])  # (K, 9, 3)
         Z0 = _scatter_z(WQ.transpose(0, 2, 1).astype(mm), cam_idx, pt_idx, n, m)
         y0 = jnp.einsum("mji,mj->mi", evecs, g_pts)  # Q^T g per point
@@ -198,20 +202,34 @@ def initial_lambda(ctx: SchurContext, mode: str) -> jax.Array:
 
 
 def _point_factor_inv(ctx: SchurContext, lam, mode: str, dtype):
-    """Return Linv (M, 3, 3) with Vhat^-1 = Linv^T Linv for the damped point blocks."""
+    """Return Linv (M, 3, 3) with Vhat^-1 ~= Linv^T Linv for the damped point blocks.
+
+    Mixed precision: the 'chol' factor runs in the accumulation dtype (f64
+    under x64) with pivot clamping — V's formation noise in f32 can exceed
+    any reasonable damping, and an unguarded f32 Cholesky NaNs on the
+    worst-conditioned points. The 'qr' factor forms R directly from rows
+    (no squaring), which is dtype-safe, so it stays in the blocks' dtype.
+    The returned factor is cast back to ``dtype`` (its ENTRIES are bounded
+    once the factorization succeeded). O(M * 30) flops either way — free.
+    """
     point_factor, _ = MODE_STRATEGY[mode]
     m = ctx.V.shape[0]
     if point_factor == "chol":
-        eye3 = jnp.eye(3, dtype=dtype)
-        L = linalg.cholesky3x3(ctx.V + lam * eye3)
-        return linalg.inv_lower3x3(L)
+        acc = jnp.float64 if jax.config.jax_enable_x64 else dtype
+        V = ctx.V.astype(acc)
+        L = linalg.cholesky3x3(
+            V + jnp.asarray(lam, acc) * jnp.eye(3, dtype=acc), clamp=True
+        )
+        return linalg.inv_lower3x3(L).astype(dtype)
     if point_factor == "qr":
-        sl = jnp.sqrt(lam)
-        lam_rows = jnp.broadcast_to(sl * jnp.eye(3, dtype=dtype), (m, 3, 3))
+        sl = jnp.sqrt(jnp.asarray(lam, ctx.Jp_stacked.dtype))
+        lam_rows = jnp.broadcast_to(
+            sl * jnp.eye(3, dtype=ctx.Jp_stacked.dtype), (m, 3, 3)
+        )
         A = jnp.concatenate([ctx.Jp_stacked, lam_rows], axis=1)
         _, R = linalg.mgs_qr3(A)
         # L = R^T lower-triangular; Linv = inv(L).
-        return linalg.inv_lower3x3(jnp.swapaxes(R, -1, -2))
+        return linalg.inv_lower3x3(jnp.swapaxes(R, -1, -2)).astype(dtype)
     raise ValueError(f"no explicit point factor for mode {mode}")
 
 
@@ -261,14 +279,39 @@ def _camera_solve_chol(S, b):
     step and raises lambda — graceful degradation.
     """
     in_dtype = S.dtype
-    solve_dtype = jnp.float64 if jax.config.jax_enable_x64 else in_dtype
-    S = S.astype(solve_dtype)
-    b = b.astype(solve_dtype)
-    d = jnp.diagonal(S)
-    dinv = jnp.where(d > 0, jax.lax.rsqrt(jnp.abs(d) + 1e-38), 1.0)
-    Ss = S * dinv[:, None] * dinv[None, :]
-    Q, R = jnp.linalg.qr(Ss)
-    y = jax.scipy.linalg.solve_triangular(R, Q.T @ (b * dinv), lower=False)
+    acc = jnp.float64 if jax.config.jax_enable_x64 else in_dtype
+    S64 = S.astype(acc)
+    b64 = b.astype(acc)
+    d = jnp.diagonal(S64)
+    dinv = jnp.where(
+        d > 0, jax.lax.rsqrt(jnp.abs(d) + jnp.finfo(acc).tiny), 1.0
+    )
+    Ss64 = S64 * dinv[:, None] * dinv[None, :]
+
+    if in_dtype == acc:
+        Q, R = jnp.linalg.qr(Ss64)
+        y = jax.scipy.linalg.solve_triangular(
+            R, Q.T @ (b64 * dinv), lower=False
+        )
+        return y * dinv
+
+    # Mixed precision: factor the Jacobi-scaled system once in the fast
+    # dtype, then ITERATIVE REFINEMENT with f64 residuals — two extra
+    # (9N)^2 matvecs buy ~f64 solution accuracy without an emulated-f64
+    # (9N)^3 factorization (the SURVEY.md mixed-precision recipe).
+    Ss32 = Ss64.astype(in_dtype)
+    Q, R = jnp.linalg.qr(Ss32)
+
+    def solve32(r64):
+        r32 = r64.astype(in_dtype)
+        y32 = jax.scipy.linalg.solve_triangular(R, Q.T @ r32, lower=False)
+        return y32.astype(acc)
+
+    bs = b64 * dinv
+    y = solve32(bs)
+    for _ in range(2):
+        resid = bs - Ss64 @ y
+        y = y + solve32(resid)
     return (y * dinv).astype(in_dtype)
 
 
