@@ -183,10 +183,12 @@ class _LocalView:
     n_points: int
 
 
-def _local_blocks(state_local, obs_local, tau2):
+def _local_blocks(state_local, obs_local, tau2, compute_dtype=None):
     """Masked residuals+Jacobian on one shard: padding rows contribute zero."""
-    blocks = jacobian_mod.residuals_and_jacobian(state_local, obs_local, tau2)
-    w = obs_local.weights
+    blocks = jacobian_mod.residuals_and_jacobian(
+        state_local, obs_local, tau2, compute_dtype=compute_dtype
+    )
+    w = obs_local.weights.astype(blocks.f.dtype)
     return jacobian_mod.JacobianBlocks(
         Jc=blocks.Jc * w[:, None, None],
         Jp=blocks.Jp * w[:, None, None],
@@ -194,7 +196,9 @@ def _local_blocks(state_local, obs_local, tau2):
     )
 
 
-def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
+def make_sharded_kernels(
+    sp: ShardedProblem, mesh: Mesh, mode: str, matmul_dtype=None
+):
     """Build (prepare, trial) LM kernels whose heavy math runs under shard_map.
 
     Returned kernels have the signatures lm.lm_loop expects; ``state`` is a
@@ -204,6 +208,7 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
     n = sp.n_cameras
     ms = sp.points_per_shard
     tau2 = sp.tau2
+    mm = jnp.dtype(matmul_dtype) if matmul_dtype else None
     point_factor, camera_solver = schur.MODE_STRATEGY[mode]
 
     state_spec = problem_mod.BAState(
@@ -221,7 +226,7 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
     # ---- prepare: J blocks + context; U/g_cams all-reduced, rest local. ----
     def prepare_body(state, obs_local, table_local):
         state_local = state  # cameras replicated, points already local
-        blocks = _local_blocks(state_local, obs_local, tau2)
+        blocks = _local_blocks(state_local, obs_local, tau2, compute_dtype=mm)
         acc = projection.accumulation_dtype(blocks.f.dtype)
         energy = jax.lax.psum(jnp.sum(blocks.f * blocks.f, dtype=acc), axis)
         ctx = schur.build_context(blocks, local_view(obs_local, table_local), mode)
@@ -249,7 +254,7 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
         rhs_stacked=P(axis) if (point_factor, camera_solver) == ("qr", "qr") else None,
         evecs=P(axis) if point_factor == "eig" else None,
         evals=P(axis) if point_factor == "eig" else None,
-        Z0=P(axis) if point_factor == "eig" else None,
+        WQ=P(axis) if point_factor == "eig" else None,
         y0=P(axis) if point_factor == "eig" else None,
     )
 
@@ -270,11 +275,11 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
 
         if point_factor == "eig":
             winv = 1.0 / (ctx.evals + lam)
-            Zw = ctx.Z0 * winv.reshape(-1)[:, None]
-            S_part = -(ctx.Z0.T @ Zw)
-            b_part = -(ctx.Z0.T @ (ctx.y0 * winv).reshape(-1))
-            S = jax.lax.psum(S_part, axis)
-            b = jax.lax.psum(b_part, axis) + ctx.g_cams.reshape(-1)
+            S_sum, b_sum = schur._schur_gram_chunked(
+                ctx.WQ, winv, ctx.y0, cam_idx, table_local, n, mm or dtype
+            )
+            S = -jax.lax.psum(S_sum.astype(dtype), axis)
+            b = ctx.g_cams.reshape(-1) - jax.lax.psum(b_sum.astype(dtype), axis)
             S4 = S.reshape(n, 9, n, 9)
             ar = jnp.arange(n)
             S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
@@ -294,11 +299,13 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
             Linv = schur._point_factor_inv(ctx, lam, mode, dtype)
             if camera_solver == "chol":
                 C = jnp.einsum("kij,kcj->kic", ctx.W, Linv[pt_idx])
-                Z = schur._scatter_z(C.transpose(0, 2, 1), cam_idx, pt_idx, n, ms)
                 y = jnp.einsum("mij,mj->mi", Linv, ctx.g_pts)
-                S = jax.lax.psum(-(Z.T @ Z), axis)
+                S_sum, b_sum = schur._schur_gram_chunked(
+                    C, None, y, cam_idx, table_local, n, mm or dtype
+                )
+                S = -jax.lax.psum(S_sum.astype(dtype), axis)
                 b = ctx.g_cams.reshape(-1) - jax.lax.psum(
-                    Z.T @ y.reshape(-1), axis
+                    b_sum.astype(dtype), axis
                 )
                 S4 = S.reshape(n, 9, n, 9)
                 ar = jnp.arange(n)
@@ -310,7 +317,9 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
             else:
                 # Distributed TSQR: local chunked reduction, all-gather the
                 # per-shard R factors, reduce replicated.
-                R_local = schur.camera_tsqr_reduce(ctx, lam, view, Linv)
+                R_local = schur.camera_tsqr_reduce(
+                    ctx, lam, view, Linv, mm_dtype=mm
+                )
                 R_all = jax.lax.all_gather(R_local, axis)  # (D, ncols, ncols)
                 R_stack = R_all.reshape(-1, R_local.shape[-1])
                 R_comb = jnp.linalg.qr(R_stack, mode="r")
@@ -326,7 +335,10 @@ def make_sharded_kernels(sp: ShardedProblem, mesh: Mesh, mode: str):
         x_test = problem_mod.apply_step(state, dxp, dxc)
         acc = projection.accumulation_dtype(dtype)
         e_test = jax.lax.psum(
-            jnp.sum((_local_blocks(x_test, obs_local, tau2).f) ** 2, dtype=acc),
+            jnp.sum(
+                (_local_blocks(x_test, obs_local, tau2, compute_dtype=mm).f) ** 2,
+                dtype=acc,
+            ),
             axis,
         )
         jtres_dot = jnp.sum(dxc * ctx.g_cams, dtype=acc) + jax.lax.psum(
@@ -363,7 +375,9 @@ def minimize_sharded(
 ) -> lm_mod.LMResult:
     """Distributed LM: same control flow as lm.minimize, sharded kernels."""
     config = config or lm_mod.LMConfig()
-    prepare, trial = make_sharded_kernels(sp, mesh, mode)
+    prepare, trial = make_sharded_kernels(
+        sp, mesh, mode, matmul_dtype=config.matmul_dtype
+    )
     if config.drive == "host":
         prepare_j = jax.jit(prepare)
         trial_j = jax.jit(trial)

@@ -91,15 +91,91 @@ class SchurContext:
     # 'eig' point factor (moreqr): eigenbasis of V and pre-rotated coupling
     evecs: Optional[jax.Array]  # (M, 3, 3)
     evals: Optional[jax.Array]  # (M, 3) clamped >= 0
-    Z0: Optional[jax.Array]  # (3M, 9N) scatter of (W_i Q_p)^T
+    WQ: Optional[jax.Array]  # (K, 9, 3) W_i Q_p — cached coupling, trials
+    #                          only reweight rows by (D + lambda)^-1
     y0: Optional[jax.Array]  # (M, 3) Q^T g_pts
 
 
 def _scatter_z(Ct: jax.Array, cam_idx, pt_idx, n_cameras: int, n_points: int):
-    """Scatter per-observation (3, 9) blocks into the dense (3M, 9N) Z matrix."""
+    """Scatter per-observation (3, 9) blocks into the dense (3M, 9N) Z matrix.
+
+    Only for small problems/tests — at problem-257 scale the XLA scatter
+    materializes tens of GB; the production path is _schur_gram_chunked.
+    """
     Z = jnp.zeros((n_points, 3, n_cameras, 9), Ct.dtype)
     Z = Z.at[pt_idx, :, cam_idx, :].add(Ct)
     return Z.reshape(n_points * 3, n_cameras * 9)
+
+
+def _gram_chunk_size(n_cameras: int, n_points: int, budget_bytes: int = 256 << 20):
+    """Points per chunk so the per-chunk dense Z block stays under budget."""
+    per_point = n_cameras * 9 * 3 * 4  # f32 Z rows for one point
+    return max(256, min(n_points, budget_bytes // max(per_point, 1)))
+
+
+def _schur_gram_chunked(C, w, y, cam_idx, table, n_cameras: int, mm):
+    """Accumulate S = Z^T diag(w) Z and b_part = Z^T (w * y) without
+    materializing the full (3M, 9N) Z.
+
+    Z's rows for point p hold the (3, 9) blocks C_i^T of p's observations at
+    their camera block-columns. Points are processed in chunks via the padded
+    per-point gather ``table`` (sentinel K -> zero rows); each chunk scatters
+    into a bounded (P, 3, N, 9) buffer and feeds one MXU matmul — flop count
+    identical to the dense Z^T Z, memory bounded, scan-accumulated.
+
+    Args:
+      C: (K, 9, 3) per-observation coupling blocks (mm dtype).
+      w: optional (M, 3) row weights (the moreqr (D + lambda)^-1), or None.
+      y: (M, 3) per-point rhs rows.
+      cam_idx: (K,) observation -> camera.
+      table: (M, Lmax) point -> observation rows, sentinel K.
+    Returns (S_sum (9N, 9N), b_sum (9N,)) in mm dtype.
+    """
+    m, lmax = table.shape
+    k = cam_idx.shape[0]
+    n9 = 9 * n_cameras
+    chunk = _gram_chunk_size(n_cameras, m)
+    nchunks = -(-m // chunk)
+
+    C_ext = jnp.concatenate([C.astype(mm), jnp.zeros((1, 9, 3), mm)], axis=0)
+    cam_ext = jnp.concatenate([cam_idx, jnp.zeros((1,), cam_idx.dtype)])
+
+    pad = nchunks * chunk - m
+    table_p = jnp.pad(table, ((0, pad), (0, 0)), constant_values=k)
+    y_p = jnp.pad(y.astype(mm), ((0, pad), (0, 0)))
+    w_p = None if w is None else jnp.pad(w.astype(mm), ((0, pad), (0, 0)))
+
+    table_c = table_p.reshape(nchunks, chunk, lmax)
+    y_c = y_p.reshape(nchunks, chunk, 3)
+    w_c = None if w is None else w_p.reshape(nchunks, chunk, 3)
+
+    def body(carry, inp):
+        S, b = carry
+        if w is None:
+            tbl, yc = inp
+            wc = None
+        else:
+            tbl, yc, wc = inp
+        Cc = C_ext[tbl]  # (P, Lmax, 9, 3)
+        camc = cam_ext[tbl]  # (P, Lmax)
+        Zc = jnp.zeros((chunk, 3, n_cameras, 9), mm)
+        pi = jnp.arange(chunk)[:, None]
+        Zc = Zc.at[pi, :, camc, :].add(jnp.swapaxes(Cc, -1, -2))
+        Zc = Zc.reshape(chunk * 3, n9)
+        if wc is None:
+            Zw = Zc
+            yw = yc
+        else:
+            Zw = Zc * wc.reshape(-1)[:, None]
+            yw = yc * wc
+        S = S + Zc.T @ Zw
+        b = b + Zc.T @ yw.reshape(-1)
+        return (S, b), None
+
+    init = (jnp.zeros((n9, n9), mm), jnp.zeros((n9,), mm))
+    xs = (table_c, y_c) if w is None else (table_c, y_c, w_c)
+    (S, b), _ = jax.lax.scan(body, init, xs)
+    return S, b
 
 
 def build_context(
@@ -140,7 +216,7 @@ def build_context(
     point_factor, camera_solver = MODE_STRATEGY[mode]
     mm = mm_dtype or Jc.dtype
     Jp_stacked = Jc_stacked = rhs_stacked = None
-    evecs = evals = Z0 = y0 = None
+    evecs = evals = WQ = y0 = None
 
     if point_factor == "qr" :
         # Gather each point's observation rows into a padded static-shape
@@ -164,8 +240,9 @@ def build_context(
         evals_raw, evecs64 = jnp.linalg.eigh(V.astype(acc))
         evals = jnp.maximum(evals_raw, 0.0).astype(V.dtype)
         evecs = evecs64.astype(V.dtype)
-        WQ = jnp.einsum("kij,kjl->kil", W, evecs[pt_idx])  # (K, 9, 3)
-        Z0 = _scatter_z(WQ.transpose(0, 2, 1).astype(mm), cam_idx, pt_idx, n, m)
+        WQ = jnp.einsum(
+            "kij,kjl->kil", W, evecs[pt_idx]
+        ).astype(mm)  # (K, 9, 3)
         y0 = jnp.einsum("mji,mj->mi", evecs, g_pts)  # Q^T g per point
 
     return SchurContext(
@@ -180,7 +257,7 @@ def build_context(
         rhs_stacked=rhs_stacked,
         evecs=evecs,
         evals=evals,
-        Z0=Z0,
+        WQ=WQ,
         y0=y0,
     )
 
@@ -233,24 +310,24 @@ def _point_factor_inv(ctx: SchurContext, lam, mode: str, dtype):
     raise ValueError(f"no explicit point factor for mode {mode}")
 
 
-def _reduced_system_chol(ctx, lam, cam_idx, pt_idx, n, m, Linv, mm):
-    """Form S = blkdiag(U + lam I) - Z^T Z and rhs b; one big MXU matmul.
+def _reduced_system_chol(ctx, lam, cam_idx, pt_idx, table, n, m, Linv, mm):
+    """Form S = blkdiag(U + lam I) - Z^T Z and rhs b via the chunked gram.
 
-    The Z scatter and Z^T Z run in ``mm`` (f32 on TPU); Z's entries are
-    point-whitened (C = W L^-T), so their scale is tame. The assembled S and
-    rhs are promoted back to the accurate dtype for the reduced solve.
+    The Z chunks and their matmuls run in ``mm`` (f32 on TPU); Z's entries
+    are point-whitened (C = W L^-T), so their scale is tame. The assembled S
+    and rhs are promoted back to the accurate dtype for the reduced solve.
     """
     dtype = ctx.U.dtype
-    # C_i = W_i L_p^-T  (point-whitened coupling), scattered as Z.
-    C = jnp.einsum("kij,kcj->kic", ctx.W, Linv[pt_idx])  # W @ Linv^T: (K, 9, 3)
-    Z = _scatter_z(C.transpose(0, 2, 1).astype(mm), cam_idx, pt_idx, n, m)
-    S = -(Z.T @ Z).astype(dtype)
+    # C_i = W_i L_p^-T  (point-whitened coupling).
+    C = jnp.einsum("kij,kcj->kic", ctx.W, Linv[pt_idx])  # (K, 9, 3)
+    y = jnp.einsum("mij,mj->mi", Linv, ctx.g_pts)  # L^-1 g_p
+    S_sum, b_sum = _schur_gram_chunked(C, None, y, cam_idx, table, n, mm)
+    S = -S_sum.astype(dtype)
     S4 = S.reshape(n, 9, n, 9)
     ar = jnp.arange(n)
     S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
     S = S4.reshape(9 * n, 9 * n)
-    y = jnp.einsum("mij,mj->mi", Linv, ctx.g_pts)  # L^-1 g_p
-    b = ctx.g_cams.reshape(-1) - (Z.T @ y.reshape(-1).astype(mm)).astype(dtype)
+    b = ctx.g_cams.reshape(-1) - b_sum.astype(dtype)
     return S, b
 
 
@@ -332,15 +409,15 @@ def solve_damped(ctx: SchurContext, lam, problem, mode: str, mm_dtype=None):
 
     if point_factor == "eig":
         winv = 1.0 / (ctx.evals + lam)  # (M, 3)
-        Zw = ctx.Z0 * winv.reshape(-1)[:, None].astype(mm)
-        S = -(ctx.Z0.T @ Zw).astype(dtype)
+        S_sum, b_sum = _schur_gram_chunked(
+            ctx.WQ, winv, ctx.y0, cam_idx, problem.pt_obs_idx, n, mm
+        )
+        S = -S_sum.astype(dtype)
         S4 = S.reshape(n, 9, n, 9)
         ar = jnp.arange(n)
         S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
         S = S4.reshape(9 * n, 9 * n)
-        b = ctx.g_cams.reshape(-1) - (
-            ctx.Z0.T @ (ctx.y0 * winv).reshape(-1).astype(mm)
-        ).astype(dtype)
+        b = ctx.g_cams.reshape(-1) - b_sum.astype(dtype)
         dxc = _camera_solve_chol(S, b).reshape(n, 9)
         # Back-substitution in the eigenbasis.
         t = ctx.g_pts - jax.ops.segment_sum(
@@ -354,7 +431,9 @@ def solve_damped(ctx: SchurContext, lam, problem, mode: str, mm_dtype=None):
     Linv = _point_factor_inv(ctx, lam, mode, dtype)
 
     if camera_solver == "chol":
-        S, b = _reduced_system_chol(ctx, lam, cam_idx, pt_idx, n, m, Linv, mm)
+        S, b = _reduced_system_chol(
+            ctx, lam, cam_idx, pt_idx, problem.pt_obs_idx, n, m, Linv, mm
+        )
         dxc = _camera_solve_chol(S, b).reshape(n, 9)
     else:
         dxc = camera_solve_qr(ctx, lam, problem, Linv, mm_dtype=mm).reshape(n, 9)

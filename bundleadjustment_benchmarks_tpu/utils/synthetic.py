@@ -1,9 +1,10 @@
-"""Synthetic BA problem generator (tests, compile checks, dry runs).
+"""Synthetic BA problem generator (tests, compile checks, dry runs, scaling).
 
 Generates a random multi-view problem with BAL-like conventions (negative
 focal, prescaled distortion — reference bundle_adjustment_large.cpp:88-98) by
 projecting ground-truth geometry and perturbing it, so LM has a realistic
-basin to descend.
+basin to descend. Fully vectorized: problem-257-scale (65k points, 225k
+observations) generates in well under a second.
 """
 
 from __future__ import annotations
@@ -14,7 +15,6 @@ import jax.numpy as jnp
 
 from bundleadjustment_benchmarks_tpu.io.bal import BalDataset
 from bundleadjustment_benchmarks_tpu.models.problem import BAProblem, from_bal_dataset
-from bundleadjustment_benchmarks_tpu.ops import rodrigues
 
 
 def make_synthetic_problem(
@@ -34,31 +34,37 @@ def make_synthetic_problem(
     k2 = rng.normal(scale=1e-14, size=n_cameras)
     points = rng.normal(scale=0.5, size=(n_points, 3))
 
-    cam_idx = []
-    pt_idx = []
-    for p in range(n_points):
-        cams = rng.choice(
-            n_cameras, size=min(obs_per_point, n_cameras), replace=False
-        )
-        for c in cams:
-            cam_idx.append(c)
-            pt_idx.append(p)
-    cam_idx = np.array(cam_idx, dtype=np.int32)
-    pt_idx = np.array(pt_idx, dtype=np.int32)
+    # Each point is seen by `obs_per_point` distinct random cameras:
+    # row-wise first-L of a random permutation per point.
+    L = min(obs_per_point, n_cameras)
+    cam_choice = np.argsort(
+        rng.random((n_points, n_cameras)), axis=1
+    )[:, :L].astype(np.int32)
+    cam_idx = cam_choice.reshape(-1)
+    pt_idx = np.repeat(np.arange(n_points, dtype=np.int32), L)
 
-    R = np.asarray(
-        rodrigues.exp_rodrigues(jnp.asarray(omega, dtype=jnp.float64))
+    # Rodrigues (vectorized, f64).
+    theta = np.linalg.norm(omega, axis=-1, keepdims=True)
+    safe = np.where(theta > 0, theta, 1.0)
+    k = omega / safe
+    Kx = np.zeros((n_cameras, 3, 3))
+    Kx[:, 0, 1], Kx[:, 0, 2] = -k[:, 2], k[:, 1]
+    Kx[:, 1, 0], Kx[:, 1, 2] = k[:, 2], -k[:, 0]
+    Kx[:, 2, 0], Kx[:, 2, 1] = -k[:, 1], k[:, 0]
+    st, ct = np.sin(theta)[..., None], np.cos(theta)[..., None]
+    R = np.eye(3) + st * Kx + (1 - ct) * np.einsum("nij,njk->nik", Kx, Kx)
+
+    XX = (
+        np.einsum("kij,kj->ki", R[cam_idx], points[pt_idx])
+        + translation[cam_idx]
     )
-    meas = []
-    for c, p in zip(cam_idx, pt_idx):
-        XX = R[c] @ points[p] + translation[c]
-        xu = XX[:2] / XX[2]
-        r2 = float(xu @ xu)
-        pk1 = k1[c] * focal[c] ** 2
-        pk2 = k2[c] * focal[c] ** 4
-        kr = 1 + pk1 * r2 + pk2 * r2 * r2
-        meas.append(-focal[c] * kr * xu)
-    meas = np.array(meas) + rng.normal(scale=noise, size=(len(cam_idx), 2))
+    xu = XX[:, :2] / XX[:, 2:3]
+    r2 = np.sum(xu * xu, axis=1)
+    pk1 = (k1 * focal**2)[cam_idx]
+    pk2 = (k2 * focal**4)[cam_idx]
+    kr = 1 + pk1 * r2 + pk2 * r2 * r2
+    meas = (-focal[cam_idx] * kr)[:, None] * xu
+    meas = meas + rng.normal(scale=noise, size=meas.shape)
 
     ds = BalDataset(
         cam_idx=cam_idx,
