@@ -330,8 +330,16 @@ def _output_iter(it, status, fval, rho, lam, elapsed):
     )
 
 
-def host_loop(state0, prepare, trial, config: LMConfig):
-    """Python-driven LM loop around jitted kernels (verbose parity path)."""
+def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
+              checkpoint_every: int = 0, checkpoint_path: Optional[str] = None):
+    """Python-driven LM loop around jitted kernels (verbose parity path).
+
+    ``resume``: a dict from utils.checkpoint.load_checkpoint's meta (lam /
+    iteration / fun_evals / energy_history) to continue a previous run —
+    capability the reference lacks entirely (SURVEY.md section 5).
+    ``checkpoint_every``: if > 0 and checkpoint_path is set, dump the LM
+    state every that many accepted iterations.
+    """
     if config.verbose:
         _output_header()
         _output_iter_header()
@@ -344,6 +352,14 @@ def host_loop(state0, prepare, trial, config: LMConfig):
     hist = [0.0] * config.energy_history_size
     status = LMStatus.Running
     energy = float("inf")
+    resumed = False
+    if resume:
+        lam = float(resume.get("lam", lam))
+        it = int(resume.get("iteration", 0))
+        fun_evals = int(resume.get("fun_evals", 0))
+        hist = list(resume.get("energy_history", hist))[: config.energy_history_size]
+        hist += [0.0] * (config.energy_history_size - len(hist))
+        resumed = True
 
     while True:
         iter_start = time.perf_counter()
@@ -358,7 +374,7 @@ def host_loop(state0, prepare, trial, config: LMConfig):
         ctx, energy_dev, lam0_rule = prepare(x)
         energy = float(energy_dev)
         fun_evals += 1
-        if it == 1:
+        if it == 1 and not resumed:
             lam = float(lam0_rule)
 
         stop_now = False
@@ -397,6 +413,14 @@ def host_loop(state0, prepare, trial, config: LMConfig):
 
         if stop_now:
             break
+
+        if checkpoint_every and checkpoint_path and it % checkpoint_every == 0:
+            from bundleadjustment_benchmarks_tpu.utils import checkpoint as _ckpt
+
+            _ckpt.save_checkpoint(
+                checkpoint_path, x_test, lam=lam, iteration=it,
+                fun_evals=fun_evals, energy_history=hist,
+            )
 
         if it > config.energy_history_size:
             maxf = max(hist)

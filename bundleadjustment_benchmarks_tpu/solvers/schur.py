@@ -129,13 +129,16 @@ def _schur_gram_chunked(C, w, y, cam_idx, table, n_cameras: int, mm):
       y: (M, 3) per-point rhs rows.
       cam_idx: (K,) observation -> camera.
       table: (M, Lmax) point -> observation rows, sentinel K.
-    Returns (S_sum (9N, 9N), b_sum (9N,)) in mm dtype.
+    Returns (S_sum (9N, 9N), b_sum (9N,)) in the accumulation dtype
+    (f32 when mm is bf16, else mm).
     """
     m, lmax = table.shape
     k = cam_idx.shape[0]
     n9 = 9 * n_cameras
     chunk = _gram_chunk_size(n_cameras, m)
     nchunks = -(-m // chunk)
+    # Accumulate in f32 when the operands are bf16 (MXU-native accumulation).
+    acc_mm = jnp.float32 if jnp.dtype(mm) == jnp.bfloat16 else jnp.dtype(mm)
 
     C_ext = jnp.concatenate([C.astype(mm), jnp.zeros((1, 9, 3), mm)], axis=0)
     cam_ext = jnp.concatenate([cam_idx, jnp.zeros((1,), cam_idx.dtype)])
@@ -158,9 +161,23 @@ def _schur_gram_chunked(C, w, y, cam_idx, table, n_cameras: int, mm):
             tbl, yc, wc = inp
         Cc = C_ext[tbl]  # (P, Lmax, 9, 3)
         camc = cam_ext[tbl]  # (P, Lmax)
-        Zc = jnp.zeros((chunk, 3, n_cameras, 9), mm)
-        pi = jnp.arange(chunk)[:, None]
-        Zc = Zc.at[pi, :, camc, :].add(jnp.swapaxes(Cc, -1, -2))
+        # Place each slot's (3, 9) block at its camera block-column WITHOUT a
+        # scatter (XLA scatter-add lowers catastrophically at this scale).
+        ar_n = jnp.arange(n_cameras, dtype=camc.dtype)
+        if lmax <= 8:
+            # Few slots: unrolled masked broadcast-adds (pure VPU passes,
+            # measured ~2x faster than the one-hot contraction at 257-scale).
+            Zc = jnp.zeros((chunk, 3, n_cameras, 9), mm)
+            CcT = jnp.swapaxes(Cc, -1, -2)  # (P, Lmax, 3, 9)
+            for sl in range(lmax):
+                mask = (camc[:, sl, None] == ar_n).astype(mm)  # (P, N)
+                Zc = Zc + mask[:, None, :, None] * CcT[:, sl, :, None, :]
+        else:
+            # Many slots: one-hot contraction (batched small matmuls).
+            onehot = (camc[..., None] == ar_n).astype(mm)  # (P, Lmax, N)
+            Zc = jnp.einsum(
+                "pln,plrj->prnj", onehot, jnp.swapaxes(Cc, -1, -2)
+            )  # (P, 3, N, 9)
         Zc = Zc.reshape(chunk * 3, n9)
         if wc is None:
             Zw = Zc
@@ -168,11 +185,16 @@ def _schur_gram_chunked(C, w, y, cam_idx, table, n_cameras: int, mm):
         else:
             Zw = Zc * wc.reshape(-1)[:, None]
             yw = yc * wc
-        S = S + Zc.T @ Zw
-        b = b + Zc.T @ yw.reshape(-1)
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_mm,
+        )
+        S = S + dot(Zc, Zw)
+        b = b + dot(Zc, yw.reshape(-1)[:, None])[:, 0]
         return (S, b), None
 
-    init = (jnp.zeros((n9, n9), mm), jnp.zeros((n9,), mm))
+    init = (jnp.zeros((n9, n9), acc_mm), jnp.zeros((n9,), acc_mm))
     xs = (table_c, y_c) if w is None else (table_c, y_c, w_c)
     (S, b), _ = jax.lax.scan(body, init, xs)
     return S, b
@@ -509,12 +531,15 @@ def camera_tsqr_reduce(
     def chunk_body(carry_R, inp):
         Jc_c, rhs_c, cam_c, Q1_c = inp
         P = chunk_points
-        # Scatter camera blocks to dense columns: (P, 2Lmax+3, 9N+1).
-        A = jnp.zeros((P, 2 * lmax, n, 9), dtype)
+        # Place camera blocks at their dense block-columns via a one-hot
+        # contraction (scatter-free; see _schur_gram_chunked).
         slot_cam = jnp.repeat(cam_c, 2, axis=1)  # (P, 2Lmax)
-        pi = jnp.arange(P)[:, None]
-        ri = jnp.arange(2 * lmax)[None, :]
-        A = A.at[pi, ri, slot_cam, :].set(Jc_c)
+        onehot = (
+            slot_cam[..., None] == jnp.arange(n, dtype=slot_cam.dtype)
+        ).astype(dtype)  # (P, 2Lmax, N)
+        # Each row r holds exactly one camera's 9 columns: outer-product the
+        # one-hot with the row's block, keeping rows distinct.
+        A = onehot[..., None] * Jc_c[:, :, None, :]  # (P, 2Lmax, N, 9)
         A = A.reshape(P, 2 * lmax, 9 * n)
         A = jnp.concatenate([A, jnp.zeros((P, 3, 9 * n), dtype)], axis=1)
         rhs_full = jnp.concatenate([rhs_c, jnp.zeros((P, 3), dtype)], axis=1)

@@ -96,3 +96,30 @@ def test_status_strings():
         lm.STATUS_STRINGS[lm.LMStatus.ExceededLambdaMax]
         == "Success (Exceeded Maximum Lambda)"
     )
+
+
+def test_host_loop_resume_and_checkpoint(tmp_path):
+    """Checkpoint mid-run, resume, and end near where an uninterrupted run ends."""
+    from bundleadjustment_benchmarks_tpu.solvers.lm import _prepare, _trial
+    from bundleadjustment_benchmarks_tpu.utils import checkpoint
+
+    problem = make_synthetic_problem(n_cameras=4, n_points=20, obs_per_point=3, seed=8)
+    prepare = lambda s: _prepare(s, problem, "cholesky")  # noqa: E731
+    trial = lambda ctx, s, lam: _trial(ctx, s, lam, problem, "cholesky")  # noqa: E731
+
+    ckpt = str(tmp_path / "lm.npz")
+    cfg5 = lm.LMConfig(drive="host", max_iter=5)
+    res5 = lm.host_loop(
+        problem.state, prepare, trial, cfg5,
+        checkpoint_every=5, checkpoint_path=ckpt,
+    )
+    state, meta = checkpoint.load_checkpoint(ckpt)
+    assert meta["iteration"] == 5
+
+    cfg10 = lm.LMConfig(drive="host", max_iter=10)
+    resumed = lm.host_loop(state, prepare, trial, cfg10, resume=meta)
+    full = lm.host_loop(problem.state, prepare, trial, cfg10)
+    # The resumed run must replay the uninterrupted trajectory exactly.
+    assert resumed.iterations == full.iterations
+    assert resumed.status == full.status
+    np.testing.assert_allclose(resumed.energy, full.energy, rtol=1e-12)
