@@ -61,6 +61,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="disable the reference's discard-final-step-on-flatline quirk",
     )
     p.add_argument("--log-file", default="runtime_log.log")
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="write a jax.profiler trace of the optimization to this directory",
+    )
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        help="checkpoint file: resumed from if it exists, written every "
+        "--checkpoint-every iterations (host drive only)",
+    )
+    p.add_argument("--checkpoint-every", type=int, default=25)
     return p
 
 
@@ -126,9 +138,37 @@ def main(argv=None) -> int:
         discard_final_step=not args.keep_final_step,
         matmul_dtype=matmul_dtype,
     )
+    def run():
+        if args.checkpoint and args.drive == "host":
+            import os as _os
+
+            from bundleadjustment_benchmarks_tpu.solvers.lm import _prepare, _trial
+            from bundleadjustment_benchmarks_tpu.utils import checkpoint as ckpt
+
+            state, resume = problem.state, None
+            if _os.path.exists(args.checkpoint):
+                state, resume = ckpt.load_checkpoint(args.checkpoint)
+                print(f"Resuming from {args.checkpoint} "
+                      f"(iteration {resume['iteration']})")
+            prep = lambda s: _prepare(s, problem, args.solver, matmul_dtype)  # noqa: E731
+            tri = lambda c, s, la: _trial(  # noqa: E731
+                c, s, la, problem, args.solver, matmul_dtype
+            )
+            return lm.host_loop(
+                state, prep, tri, cfg, resume=resume,
+                checkpoint_every=args.checkpoint_every,
+                checkpoint_path=args.checkpoint,
+            )
+        return lm.minimize(problem, mode=args.solver, config=cfg)
+
     begin = time.perf_counter()
-    result = lm.minimize(problem, mode=args.solver, config=cfg)
-    jax.block_until_ready(result.state.points)
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            result = run()
+            jax.block_until_ready(result.state.points)
+    else:
+        result = run()
+        jax.block_until_ready(result.state.points)
     elapsed = time.perf_counter() - begin
     print(f"lm.minimize(params) ... {elapsed:g}s")
     print(f"LM finished with status: {lm.STATUS_STRINGS[result.status]}")
