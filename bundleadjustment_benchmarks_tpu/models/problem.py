@@ -108,6 +108,7 @@ class BAProblem:
     obs: BAObservations
     pt_obs_idx: jax.Array  # (M, Lmax) int32, padded with n_observations
     pt_obs_count: jax.Array  # (M,) int32
+    cam_obs_idx: jax.Array  # (N, Lcam) int32, padded with n_observations
     inlier_threshold: float = dataclasses.field(metadata=dict(static=True))
     avg_focal_length: float = dataclasses.field(metadata=dict(static=True))
 
@@ -130,6 +131,24 @@ class BAProblem:
     @property
     def max_obs_per_point(self) -> int:
         return self.pt_obs_idx.shape[1]
+
+
+def _index_table(idx: np.ndarray, n_segments: int) -> np.ndarray:
+    """(n_segments, Lmax) gather table for ARBITRARY (unsorted) indices,
+    padded with the sentinel len(idx). Enables scatter-free segment sums
+    (gather + sum over slots) — XLA scatter lowers catastrophically on TPU.
+    """
+    k = idx.shape[0]
+    counts = np.bincount(idx, minlength=n_segments)
+    lmax = int(counts.max()) if counts.size else 0
+    table = np.full((n_segments, max(lmax, 1)), k, dtype=np.int32)
+    order = np.argsort(idx, kind="stable")
+    sorted_idx = idx[order]
+    starts = np.zeros(n_segments, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(k) - starts[sorted_idx]
+    table[sorted_idx, pos] = order.astype(np.int32)
+    return table
 
 
 def _point_segment_table(pt_idx: np.ndarray, n_points: int, pad_to: Optional[int]):
@@ -194,11 +213,13 @@ def from_bal_dataset(
         weights=jnp.ones((cam_idx.shape[0],), dtype),
     )
     table, counts = _point_segment_table(pt_idx, ds.n_points, pad_to=None)
+    cam_table = _index_table(cam_idx, n)
     return BAProblem(
         state=state,
         obs=obs,
         pt_obs_idx=jnp.asarray(table),
         pt_obs_count=jnp.asarray(counts),
+        cam_obs_idx=jnp.asarray(cam_table),
         inlier_threshold=float(inlier_threshold),
         avg_focal_length=float(avg_focal_length),
     )

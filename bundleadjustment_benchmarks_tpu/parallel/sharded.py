@@ -76,6 +76,7 @@ class ShardedProblem:
     state: problem_mod.BAState  # cameras replicated; points (Mp, 3) sharded
     obs: ShardedObservations
     pt_obs_idx: jax.Array  # (Mp, Lmax) LOCAL obs row indices, sentinel = Ks
+    cam_obs_idx: jax.Array  # (D*N, Lcam) per-shard camera->local-obs table
     inlier_threshold: float = dataclasses.field(metadata=dict(static=True))
     avg_focal_length: float = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
@@ -124,6 +125,8 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
     w_sh = np.zeros((d, ks), dtype)
     pts_sh = np.zeros((d, ms, 3), dtype)
     table_sh = np.full((d, ms, lmax), ks, np.int32)
+    n_cams = problem.n_cameras
+    cam_tables = []
 
     for s in range(d):
         lo, hi = obs_starts[s], obs_ends[s]
@@ -142,6 +145,14 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
         ar = np.arange(nloc)
         pos = ar - offs[ptl_sh[s, :nloc]]
         table_sh[s, ptl_sh[s, :nloc], pos] = ar
+        # Per-shard camera -> local-obs gather table (sentinel nloc -> ks,
+        # the shard-local padded length whose gather row is zero).
+        t = problem_mod._index_table(cam_sh[s, :nloc], n_cams)
+        cam_tables.append(np.where(t == nloc, ks, t))
+    lcam = max(max(t.shape[1] for t in cam_tables), 1)
+    cam_table_sh = np.full((d, n_cams, lcam), ks, np.int32)
+    for s_i, t in enumerate(cam_tables):
+        cam_table_sh[s_i, :, : t.shape[1]] = t
 
     def put(x, spec):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
@@ -164,6 +175,7 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
         state=state,
         obs=obs,
         pt_obs_idx=put(table_sh.reshape(d * ms, lmax), P(axis)),
+        cam_obs_idx=put(cam_table_sh.reshape(d * n_cams, lcam), P(axis)),
         inlier_threshold=problem.inlier_threshold,
         avg_focal_length=problem.avg_focal_length,
         n_shards=d,
@@ -179,6 +191,7 @@ class _LocalView:
 
     obs: ShardedObservations
     pt_obs_idx: jax.Array
+    cam_obs_idx: jax.Array
     n_cameras: int
     n_points: int
 
@@ -218,18 +231,24 @@ def make_sharded_kernels(
         cam_idx=P(axis), pt_idx=P(axis), measurements=P(axis), weights=P(axis)
     )
 
-    def local_view(obs_local, table_local):
+    def local_view(obs_local, table_local, cam_table_local):
         return _LocalView(
-            obs=obs_local, pt_obs_idx=table_local, n_cameras=n, n_points=ms
+            obs=obs_local,
+            pt_obs_idx=table_local,
+            cam_obs_idx=cam_table_local,
+            n_cameras=n,
+            n_points=ms,
         )
 
     # ---- prepare: J blocks + context; U/g_cams all-reduced, rest local. ----
-    def prepare_body(state, obs_local, table_local):
+    def prepare_body(state, obs_local, table_local, cam_table_local):
         state_local = state  # cameras replicated, points already local
         blocks = _local_blocks(state_local, obs_local, tau2, compute_dtype=mm)
         acc = projection.accumulation_dtype(blocks.f.dtype)
         energy = jax.lax.psum(jnp.sum(blocks.f * blocks.f, dtype=acc), axis)
-        ctx = schur.build_context(blocks, local_view(obs_local, table_local), mode)
+        ctx = schur.build_context(
+            blocks, local_view(obs_local, table_local, cam_table_local), mode
+        )
         U = jax.lax.psum(ctx.U, axis)
         g_cams = jax.lax.psum(ctx.g_cams, axis)
         max_colnorm_sq = jnp.maximum(
@@ -261,16 +280,16 @@ def make_sharded_kernels(
     prepare_sm = shard_map(
         prepare_body,
         mesh=mesh,
-        in_specs=(state_spec, obs_spec, P(axis)),
+        in_specs=(state_spec, obs_spec, P(axis), P(axis)),
         out_specs=(ctx_spec, P(), P()),
         check_vma=False,
     )
 
     # ---- trial: local factors, psum'd reduced system, local back-sub. ----
-    def trial_body(ctx, state, lam, obs_local, table_local):
+    def trial_body(ctx, state, lam, obs_local, table_local, cam_table_local):
         dtype = ctx.U.dtype
         lam = jnp.asarray(lam, dtype)
-        view = local_view(obs_local, table_local)
+        view = local_view(obs_local, table_local, cam_table_local)
         cam_idx, pt_idx = obs_local.cam_idx, obs_local.pt_idx
 
         if point_factor == "eig":
@@ -285,10 +304,8 @@ def make_sharded_kernels(
             S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
             S = S4.reshape(9 * n, 9 * n)
             dxc = schur._camera_solve_chol(S, b).reshape(n, 9)
-            t = ctx.g_pts - jax.ops.segment_sum(
-                jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]),
-                pt_idx,
-                num_segments=ms,
+            t = ctx.g_pts - schur.table_segment_sum(
+                jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), table_local
             )
             dxp = jnp.einsum(
                 "mij,mj->mi",
@@ -324,10 +341,8 @@ def make_sharded_kernels(
                 R_stack = R_all.reshape(-1, R_local.shape[-1])
                 R_comb = jnp.linalg.qr(R_stack, mode="r")
                 dxc = schur.finish_camera_qr(R_comb, lam, n).reshape(n, 9)
-            t = ctx.g_pts - jax.ops.segment_sum(
-                jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]),
-                pt_idx,
-                num_segments=ms,
+            t = ctx.g_pts - schur.table_segment_sum(
+                jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), table_local
             )
             y2 = jnp.einsum("mij,mj->mi", Linv, t)
             dxp = jnp.einsum("mji,mj->mi", Linv, y2)
@@ -353,16 +368,18 @@ def make_sharded_kernels(
     trial_sm = shard_map(
         trial_body,
         mesh=mesh,
-        in_specs=(ctx_spec, state_spec, P(), obs_spec, P(axis)),
+        in_specs=(ctx_spec, state_spec, P(), obs_spec, P(axis), P(axis)),
         out_specs=(state_spec, P(), P()),
         check_vma=False,
     )
 
     def prepare(state):
-        return prepare_sm(state, sp.obs, sp.pt_obs_idx)
+        return prepare_sm(state, sp.obs, sp.pt_obs_idx, sp.cam_obs_idx)
 
     def trial(ctx, state, lam):
-        return trial_sm(ctx, state, jnp.asarray(lam), sp.obs, sp.pt_obs_idx)
+        return trial_sm(
+            ctx, state, jnp.asarray(lam), sp.obs, sp.pt_obs_idx, sp.cam_obs_idx
+        )
 
     return prepare, trial
 

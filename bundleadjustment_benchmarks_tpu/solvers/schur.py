@@ -107,6 +107,37 @@ def _scatter_z(Ct: jax.Array, cam_idx, pt_idx, n_cameras: int, n_points: int):
     return Z.reshape(n_points * 3, n_cameras * 9)
 
 
+def table_segment_sum(values, table, slot_chunk: int = 512):
+    """Scatter-free segment sum: out[s] = sum_l values[table[s, l]].
+
+    ``table`` is a (S, L) gather table with sentinel len(values) (an
+    all-zero padding row is appended). XLA's scatter-based segment_sum
+    lowers catastrophically on TPU (see _schur_gram_chunked); a gather + sum
+    over slots is pure bandwidth. Large L is chunked to bound the gathered
+    intermediate.
+    """
+    k = values.shape[0]
+    s, l = table.shape
+    values_ext = jnp.concatenate(
+        [values, jnp.zeros((1,) + values.shape[1:], values.dtype)], axis=0
+    )
+    if l <= slot_chunk:
+        return values_ext[table].sum(axis=1)
+    nch = -(-l // slot_chunk)
+    pad = nch * slot_chunk - l
+    table_p = jnp.pad(table, ((0, 0), (0, pad)), constant_values=k)
+    table_c = jnp.moveaxis(
+        table_p.reshape(s, nch, slot_chunk), 1, 0
+    )  # (nch, S, slot_chunk)
+
+    def body(acc, tbl):
+        return acc + values_ext[tbl].sum(axis=1), None
+
+    init = jnp.zeros((s,) + values.shape[1:], values.dtype)
+    out, _ = jax.lax.scan(body, init, table_c)
+    return out
+
+
 def _gram_chunk_size(n_cameras: int, n_points: int, budget_bytes: int = 256 << 20):
     """Points per chunk so the per-chunk dense Z block stays under budget."""
     per_point = n_cameras * 9 * 3 * 4  # f32 Z rows for one point
@@ -221,14 +252,15 @@ def build_context(
 
     UtU = jnp.einsum("kri,krj->kij", Jc, Jc)  # (K, 9, 9)
     VtV = jnp.einsum("kri,krj->kij", Jp, Jp)  # (K, 3, 3)
-    U = jax.ops.segment_sum(UtU, cam_idx, num_segments=n)
-    V = jax.ops.segment_sum(VtV, pt_idx, num_segments=m)
+    # Scatter-free segment sums via the per-camera/per-point gather tables.
+    U = table_segment_sum(UtU, problem.cam_obs_idx)
+    V = table_segment_sum(VtV, problem.pt_obs_idx)
     W = jnp.einsum("kri,krj->kij", Jc, Jp)  # (K, 9, 3)
-    g_cams = -jax.ops.segment_sum(
-        jnp.einsum("kri,kr->ki", Jc, f), cam_idx, num_segments=n
+    g_cams = -table_segment_sum(
+        jnp.einsum("kri,kr->ki", Jc, f), problem.cam_obs_idx
     )
-    g_pts = -jax.ops.segment_sum(
-        jnp.einsum("kri,kr->ki", Jp, f), pt_idx, num_segments=m
+    g_pts = -table_segment_sum(
+        jnp.einsum("kri,kr->ki", Jp, f), problem.pt_obs_idx
     )
     max_colnorm_sq = jnp.maximum(
         jnp.max(jnp.diagonal(U, axis1=-2, axis2=-1)),
@@ -442,8 +474,8 @@ def solve_damped(ctx: SchurContext, lam, problem, mode: str, mm_dtype=None):
         b = ctx.g_cams.reshape(-1) - b_sum.astype(dtype)
         dxc = _camera_solve_chol(S, b).reshape(n, 9)
         # Back-substitution in the eigenbasis.
-        t = ctx.g_pts - jax.ops.segment_sum(
-            jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), pt_idx, num_segments=m
+        t = ctx.g_pts - table_segment_sum(
+            jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), problem.pt_obs_idx
         )
         dxp = jnp.einsum(
             "mij,mj->mi", ctx.evecs, winv * jnp.einsum("mji,mj->mi", ctx.evecs, t)
@@ -461,8 +493,8 @@ def solve_damped(ctx: SchurContext, lam, problem, mode: str, mm_dtype=None):
         dxc = camera_solve_qr(ctx, lam, problem, Linv, mm_dtype=mm).reshape(n, 9)
 
     # Shared back-substitution: Vhat dx_p = g_p - sum_i W_i^T dx_c(i).
-    t = ctx.g_pts - jax.ops.segment_sum(
-        jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), pt_idx, num_segments=m
+    t = ctx.g_pts - table_segment_sum(
+        jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), problem.pt_obs_idx
     )
     y = jnp.einsum("mij,mj->mi", Linv, t)
     dxp = jnp.einsum("mji,mj->mi", Linv, y)
