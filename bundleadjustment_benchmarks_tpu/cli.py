@@ -73,6 +73,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--checkpoint-every iterations (host drive only)",
     )
     p.add_argument("--checkpoint-every", type=int, default=25)
+    p.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="enable jax_debug_nans (fail fast on NaN in any kernel)",
+    )
+    p.add_argument(
+        "--metrics",
+        default=None,
+        help="write per-iteration JSONL metrics to this file (host drive)",
+    )
     return p
 
 
@@ -91,6 +101,8 @@ def main(argv=None) -> int:
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
     )
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     # x64 always on. --dtype f64 = everything f64. --dtype f32 = MIXED
     # precision: state/geometry/small reductions stay f64 (BAL far-field
     # points make R X + T catastrophically cancel in f32 — pure f32 cannot
@@ -139,14 +151,14 @@ def main(argv=None) -> int:
         matmul_dtype=matmul_dtype,
     )
     def run():
-        if args.checkpoint and args.drive == "host":
+        if (args.checkpoint or args.metrics) and args.drive == "host":
             import os as _os
 
             from bundleadjustment_benchmarks_tpu.solvers.lm import _prepare, _trial
             from bundleadjustment_benchmarks_tpu.utils import checkpoint as ckpt
 
             state, resume = problem.state, None
-            if _os.path.exists(args.checkpoint):
+            if args.checkpoint and _os.path.exists(args.checkpoint):
                 state, resume = ckpt.load_checkpoint(args.checkpoint)
                 print(f"Resuming from {args.checkpoint} "
                       f"(iteration {resume['iteration']})")
@@ -158,6 +170,7 @@ def main(argv=None) -> int:
                 state, prep, tri, cfg, resume=resume,
                 checkpoint_every=args.checkpoint_every,
                 checkpoint_path=args.checkpoint,
+                metrics_path=args.metrics,
             )
         return lm.minimize(problem, mode=args.solver, config=cfg)
 

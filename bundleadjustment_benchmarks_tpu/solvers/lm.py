@@ -331,7 +331,8 @@ def _output_iter(it, status, fval, rho, lam, elapsed):
 
 
 def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
-              checkpoint_every: int = 0, checkpoint_path: Optional[str] = None):
+              checkpoint_every: int = 0, checkpoint_path: Optional[str] = None,
+              metrics_path: Optional[str] = None):
     """Python-driven LM loop around jitted kernels (verbose parity path).
 
     ``resume``: a dict from utils.checkpoint.load_checkpoint's meta (lam /
@@ -343,6 +344,18 @@ def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
     if config.verbose:
         _output_header()
         _output_iter_header()
+
+    metrics_f = open(metrics_path, "a") if metrics_path else None
+
+    def emit(it_, status_, f_, rho_, lam_, elapsed_):
+        if metrics_f:
+            import json as _json
+
+            metrics_f.write(_json.dumps({
+                "iter": it_, "status": status_, "f": f_, "rho": rho_,
+                "lambda": lam_, "elapsed_s": elapsed_,
+            }) + "\n")
+            metrics_f.flush()
 
     x = state0
     lam = float(config.lambda_init)
@@ -387,22 +400,20 @@ def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
                 rho = (energy - e_t) / float(rho_scale)
                 lam_mul = 1.0 - (2.0 * rho - 1.0) ** 3
                 lam = max(lam * max(1.0 / 3.0, lam_mul), config.lambda_min)
+                el = time.perf_counter() - iter_start
                 if config.verbose:
-                    _output_iter(
-                        it, "Accepted", energy, rho, lam,
-                        time.perf_counter() - iter_start,
-                    )
+                    _output_iter(it, "Accepted", energy, rho, lam, el)
+                emit(it, "Accepted", energy, rho, lam, el)
                 lam_inc = config.lambda_increase_base
                 energy = e_t
                 hist[it % config.energy_history_size] = energy
                 x_test = x_t
                 break
             else:
+                el = time.perf_counter() - iter_start
                 if config.verbose:
-                    _output_iter(
-                        it, "Rejected", energy, 0.0, lam,
-                        time.perf_counter() - iter_start,
-                    )
+                    _output_iter(it, "Rejected", energy, 0.0, lam, el)
+                emit(it, "Rejected", energy, 0.0, lam, el)
                 if lam > config.lambda_max:
                     status = LMStatus.ExceededLambdaMax
                     stop_now = True
@@ -434,6 +445,8 @@ def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
 
     if config.verbose:
         print("-" * 80)
+    if metrics_f:
+        metrics_f.close()
     return LMResult(
         state=x,
         status=status,
