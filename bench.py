@@ -35,13 +35,21 @@ def main():
     from bundleadjustment_benchmarks_tpu.solvers import lm
 
     platform = jax.devices()[0].platform
-    # Mixed precision (see cli.py): f64 state/geometry/reductions; the big
-    # Schur matmuls in f32 on accelerators (MXU path), f64 on CPU.
+    # Mixed precision (see cli.py): f64 camera state and tiny reductions; the
+    # K/M-sized geometry in two-float compensated f32 (geometry='df32' — zero
+    # f64 HLOs on observation-sized data); the big Schur matmuls in f32 on
+    # accelerators (MXU path), f64 on CPU.
     jax.config.update("jax_enable_x64", True)
     matmul_dtype = None if platform == "cpu" else "float32"
+    geometry = None if platform == "cpu" else "df32"
 
     problem = load_bal_problem(PROBLEM, dtype=jnp.float64)
-    cfg = lm.LMConfig(drive="jit", max_iter=MAX_ITER, matmul_dtype=matmul_dtype)
+    cfg = lm.LMConfig(
+        drive="jit",
+        max_iter=MAX_ITER,
+        matmul_dtype=matmul_dtype,
+        geometry=geometry,
+    )
 
     # Warm-up: compile + first run.
     res = lm.minimize(problem, mode="cholesky", config=cfg)

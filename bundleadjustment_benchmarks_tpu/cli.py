@@ -43,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--dtype", default="f64", choices=["f32", "f64"], help="machine precision"
     )
     p.add_argument(
+        "--geometry",
+        default="state",
+        choices=["state", "df32"],
+        help="geometry arithmetic: 'state' = the state dtype; 'df32' = "
+        "two-float compensated f32 (f64-quality transform with zero f64 ops "
+        "on observation-sized data — the TPU performance path)",
+    )
+    p.add_argument(
         "--drive",
         default="host",
         choices=["host", "jit"],
@@ -149,6 +157,7 @@ def main(argv=None) -> int:
         drive=args.drive,
         discard_final_step=not args.keep_final_step,
         matmul_dtype=matmul_dtype,
+        geometry=None if args.geometry == "state" else args.geometry,
     )
     def run():
         if (args.checkpoint or args.metrics) and args.drive == "host":

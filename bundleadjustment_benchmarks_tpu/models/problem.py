@@ -28,6 +28,7 @@ import numpy as np
 
 from bundleadjustment_benchmarks_tpu.io import bal
 from bundleadjustment_benchmarks_tpu.ops import rodrigues
+from bundleadjustment_benchmarks_tpu.ops import twofloat as tf
 
 #: Camera parameter ordering within a 9-vector step (BAFunctor.h:303-309):
 #: T(0:3), omega(3:6), f(6), k1(7), k2(8). Points come FIRST in the reference's
@@ -237,6 +238,85 @@ def load_bal_problem(
         dtype=dtype,
         inlier_threshold=inlier_threshold,
         avg_focal_length=avg_focal_length,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FastBAState:
+    """LM loop state for the df32 geometry drive (TPU fast path).
+
+    Camera parameters (N-sized) stay in the problem dtype — updating 9N
+    scalars per iteration in emulated f64 is free and keeps the incremental
+    rotation composition R <- exp(dw) R drift-free across hundreds of
+    iterations. Points (M-sized) ride as a two-float (hi, lo) f32 pair so the
+    per-iteration point update and all K-sized geometry run without a single
+    f64 HLO (see ops/twofloat.py for why emulated f64 is fatal on TPU).
+    """
+
+    K: jax.Array
+    R: jax.Array
+    T: jax.Array
+    k1: jax.Array
+    k2: jax.Array
+    points: tf.DF
+
+    @property
+    def focal(self) -> jax.Array:
+        return self.K[:, 0, 0]
+
+
+def to_fast(state: BAState) -> FastBAState:
+    """Split a BAState into the df32 loop representation (jit-boundary op)."""
+    return FastBAState(
+        K=state.K,
+        R=state.R,
+        T=state.T,
+        k1=state.k1,
+        k2=state.k2,
+        points=tf.from_array(state.points),
+    )
+
+
+def from_fast(fast: FastBAState, dtype=None) -> BAState:
+    """Merge the df32 loop representation back into a BAState."""
+    dtype = dtype or fast.T.dtype
+    points = tf.to_f64(fast.points) if dtype == jnp.float64 else tf.to_f32(fast.points)
+    return BAState(
+        K=fast.K,
+        R=fast.R,
+        T=fast.T,
+        k1=fast.k1,
+        k2=fast.k2,
+        points=points.astype(dtype),
+    )
+
+
+def apply_step_fast(
+    fast: FastBAState, dx_points: jax.Array, dx_cams: jax.Array
+) -> FastBAState:
+    """Manifold update on the df32 state (same semantics as apply_step).
+
+    Camera updates run in the camera dtype (N-sized, negligible); the point
+    update is a compensated DF += f32 — exact to ~2^-48 with zero f64 ops on
+    the M-sized data.
+    """
+    dx_cams = dx_cams.astype(fast.T.dtype)
+    dT = dx_cams[:, 0:3]
+    domega = dx_cams[:, 3:6]
+    df_ = dx_cams[:, 6]
+    dk1 = dx_cams[:, 7]
+    dk2 = dx_cams[:, 8]
+    dR = rodrigues.exp_rodrigues(domega)
+    eye_delta = jnp.zeros_like(fast.K)
+    eye_delta = eye_delta.at[:, 0, 0].set(df_).at[:, 1, 1].set(df_)
+    return FastBAState(
+        K=fast.K + eye_delta,
+        R=jnp.einsum("nij,njk->nik", dR, fast.R),
+        T=fast.T + dT,
+        k1=fast.k1 + dk1,
+        k2=fast.k2 + dk2,
+        points=tf.add_f(fast.points, dx_points.astype(jnp.float32)),
     )
 
 

@@ -78,14 +78,122 @@ def residuals_and_jacobian(state, obs, tau2, compute_dtype=None) -> JacobianBloc
             measurements=obs.measurements.astype(compute_dtype),
             weights=obs.weights,
         )
+    return _blocks_from_geometry(
+        R, XX - T, XX, focal, k1, k2, obs.measurements, tau2
+    )
+
+
+def residuals_and_jacobian_fast(fast, obs, tau2) -> JacobianBlocks:
+    """df32 planar variant: identical math to residuals_and_jacobian, written
+    as scalar-component ("planar") arithmetic over (K,) rows.
+
+    Two TPU-specific deviations from the array-of-structs formulation, both
+    value-preserving:
+      * the world->camera transform runs in two-float arithmetic
+        (projection.planar_geometry_df) — zero f64 HLOs on K/M-sized data;
+      * every (K, a, b)-shaped intermediate with tiny trailing dims is
+        replaced by its (K,) scalar components — tiny trailing dims waste
+        ~95% of each (8, 128) vector tile and their slicing costs a strided
+        relayout per component. Only the final Jc/Jp/f blocks are assembled
+        (one transpose each) for the downstream MXU grams.
+    """
+    camg, RX, XX = projection.planar_geometry_df(fast, obs)
+    r0, r1, kr, xu0, xu1, r2, invz = projection._planar_residual_comps(
+        camg, XX, obs
+    )
+    focal, k1, k2 = camg[24], camg[25], camg[26]
+
+    # dxd_dxu (DistortionFunction.cpp:38-51), scaled by focal: dp_dxu.
+    dkr = 2.0 * k1 + 4.0 * k2 * r2
+    p00 = focal * (kr + xu0 * xu0 * dkr)
+    p01 = focal * (xu0 * xu1 * dkr)
+    p11 = focal * (kr + xu1 * xu1 * dkr)
+
+    # dp_dXX[r][c] = dp_dxu[r][:] @ dxu_dXX[:][c] (BAFunctor.h:219-225) with
+    # dxu_dXX = [[invz, 0, -xu0 invz], [0, invz, -xu1 invz]].
+    dp = [[None] * 3 for _ in range(2)]
+    dp[0][0] = p00 * invz
+    dp[0][1] = p01 * invz
+    dp[0][2] = -(p00 * xu0 + p01 * xu1) * invz
+    dp[1][0] = p01 * invz
+    dp[1][1] = p11 * invz
+    dp[1][2] = -(p01 * xu0 + p11 * xu1) * invz
+
+    # mJ = -[XX - T]_x = -[R X]_x (BAFunctor.h:126-142).
+    a, b, c = RX[0].hi, RX[1].hi, RX[2].hi
+    zer = jnp.zeros_like(a)
+    mJ = [[zer, c, -b], [-c, zer, a], [b, -a, zer]]
+
+    # dp_dw[r][c] = sum_s dp[r][s] mJ[s][c].
+    dpw = [
+        [sum(dp[r][s] * mJ[s][ci] for s in range(3)) for ci in range(3)]
+        for r in range(2)
+    ]
+    # Jp[r][c] = sum_s dp[r][s] R[s][c] (BAFunctor.h:258); R.hi rows 0-8.
+    jp = [
+        [sum(dp[r][s] * camg[3 * s + ci] for s in range(3)) for ci in range(3)]
+        for r in range(2)
+    ]
+
+    # Camera block columns 6-8: focal and distortion derivatives
+    # (BAFunctor.h:245-261): xd, f*xu*r2, f*xu*r4.
+    xd0, xd1 = kr * xu0, kr * xu1
+    r4 = r2 * r2
+    jc = [
+        [dp[0][0], dp[0][1], dp[0][2], dpw[0][0], dpw[0][1], dpw[0][2],
+         xd0, focal * xu0 * r2, focal * xu0 * r4],
+        [dp[1][0], dp[1][1], dp[1][2], dpw[1][0], dpw[1][1], dpw[1][2],
+         xd1, focal * xu1 * r2, focal * xu1 * r4],
+    ]
+
+    # Robust outer 2x2 (BAFunctor.h:227-242), expanded:
+    # out[i][j] = cr * r_i r_j + cd * delta_ij with
+    #   cr = (W/2 * psi^-1/2 - sqrt(psi)/r^2) / |r|, cd = sqrt(psi)/r^2 * |r|.
+    tau2f = jnp.asarray(tau2, jnp.float32)
+    eps = jnp.asarray(robust.EPS_PSI_RESIDUAL, jnp.float32)
+    rn2 = r0 * r0 + r1 * r1
+    Wpsi = robust.psi_weight(tau2f, rn2)
+    sqrt_psi = jnp.sqrt(robust.psi(tau2f, rn2))
+    rsqrt_psi = 1.0 / jnp.maximum(eps, sqrt_psi)
+    rcp_r2 = 1.0 / jnp.maximum(eps, rn2)
+    rnorm = jnp.sqrt(rn2)
+    rnorm_inv = 1.0 / jnp.maximum(eps, rnorm)
+    cr = (Wpsi / 2.0 * rsqrt_psi - sqrt_psi * rcp_r2) * rnorm_inv
+    cd = sqrt_psi * rcp_r2 * rnorm
+    o00 = cr * r0 * r0 + cd
+    o01 = cr * r0 * r1
+    o11 = cr * r1 * r1 + cd
+
+    def rob(rows):
+        return [
+            [o00 * rows[0][ci] + o01 * rows[1][ci] for ci in range(len(rows[0]))],
+            [o01 * rows[0][ci] + o11 * rows[1][ci] for ci in range(len(rows[0]))],
+        ]
+
+    jc = rob(jc)
+    jp = rob(jp)
+    s = sqrt_psi * rnorm_inv  # residual scale (robust.robust_scale)
+    f0, f1 = r0 * s, r1 * s
+
+    # Assemble planar components into the block tensors consumed by the MXU
+    # grams: one stack + transpose each (single relayout instead of dozens).
+    Jc = jnp.stack(jc[0] + jc[1], axis=0).T.reshape(-1, 2, 9)
+    Jp = jnp.stack(jp[0] + jp[1], axis=0).T.reshape(-1, 2, 3)
+    f = jnp.stack([f0, f1], axis=0).T
+    return JacobianBlocks(Jc=Jc, Jp=Jp, f=f)
+
+
+def _blocks_from_geometry(R, RXmT, XX, focal, k1, k2, measurements, tau2):
+    """Shared Jacobian/residual tail. ``RXmT`` is XX - T (== R X), feeding the
+    pose derivative's cross-product matrix."""
     z = XX[..., 2]
     xu = XX[..., :2] / z[..., None]
     xd = projection.distort(k1, k2, xu)
     q = focal[..., None] * xd
-    r = q - obs.measurements  # raw residual
+    r = q - measurements  # raw residual
 
     # poseDerivatives (BAFunctor.h:126-142): d_dRT = [I | -[XX - T]_x].
-    mJ = -rodrigues.cross_product_matrix(XX - T)  # (K, 3, 3)
+    mJ = -rodrigues.cross_product_matrix(RXmT)  # (K, 3, 3)
 
     # dxu_dXX (BAFunctor.h:219-221).
     inv_z = 1.0 / z

@@ -34,7 +34,13 @@ def cholesky3x3(A: jax.Array, clamp: bool = False) -> jax.Array:
     a22, a32, a33 = A[..., 1, 1], A[..., 2, 1], A[..., 2, 2]
 
     if clamp:
-        floor = jnp.asarray(1e-12, A.dtype) * jnp.maximum(
+        # The floor must sit ABOVE the dtype's gram-formation noise
+        # (~eps * max_diag): pivots whose true value is below that noise can
+        # come out negative, and flooring them at a much smaller constant
+        # (e.g. 1e-12 in f32) yields ~1e6x-oversized inverse factors and
+        # garbage steps. f64 keeps the original 1e-12 relative floor.
+        eps_rel = max(1e-12, 8.0 * float(jnp.finfo(A.dtype).eps))
+        floor = jnp.asarray(eps_rel, A.dtype) * jnp.maximum(
             a11, jnp.maximum(a22, a33)
         )
 

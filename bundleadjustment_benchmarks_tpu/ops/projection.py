@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from bundleadjustment_benchmarks_tpu.ops import robust
+from bundleadjustment_benchmarks_tpu.ops import twofloat as tf
 
 
 def transform_into_camera_space(R: jax.Array, T: jax.Array, X: jax.Array) -> jax.Array:
@@ -137,6 +138,129 @@ def residuals(state, obs, tau2, compute_dtype=None) -> jax.Array:
     """
     r = residuals_raw(state, obs, compute_dtype)
     return r * robust.robust_scale(tau2, r)[..., None]
+
+
+#: Planar camera pack rows: 9 R.hi, 9 R.lo, 3 T.hi, 3 T.lo, focal, k1, k2.
+CAM_PACK_ROWS = 27
+
+
+def planar_camera_pack(fast) -> jax.Array:
+    """(27, N) f32 planar pack of the per-camera geometry parameters.
+
+    PLANAR LAYOUT RATIONALE: TPU vector tiles are (8 sublanes, 128 lanes) over
+    the TRAILING two dims. Gathered (K, 3, 3) tensors waste 97% of each lane
+    tile and — worse — extracting a scalar component [..., i, j] is a strided
+    relayout (~40us each on a v5e; ~36 of them dominated the geometry chain).
+    In (component, K) planar form, a component is a contiguous (K,) row:
+    slicing is free and every element-wise op runs on full lanes.
+    """
+    R_df = tf.from_array(fast.R)  # N-sized split: negligible
+    T_df = tf.from_array(fast.T)
+    return jnp.concatenate(
+        [
+            R_df.hi.reshape(-1, 9).T,
+            R_df.lo.reshape(-1, 9).T,
+            T_df.hi.T,
+            T_df.lo.T,
+            fast.K[:, 0, 0].astype(jnp.float32)[None],
+            fast.k1.astype(jnp.float32)[None],
+            fast.k2.astype(jnp.float32)[None],
+        ],
+        axis=0,
+    )
+
+
+def planar_geometry_df(fast, obs):
+    """Per-observation df32 geometry in planar form (zero f64 HLOs on K/M data).
+
+    The world->camera transform XX = R X + T (CameraMatrix.cpp:259-261) is the
+    single precision-critical step: |R X| ~ 1e4 cancels to z ~ 4, so products
+    must be exact (two_prod) and the accumulation compensated. Everything
+    downstream of the perspective division is O(1)-to-O(f) and f32 suffices.
+
+    Returns (camg (27, K) f32 planar camera components, RX list of 3 DF
+    (K,)-components == R X, XX list of 3 DF == R X + T).
+    """
+    cam = planar_camera_pack(fast)  # (27, N)
+    pts = jnp.concatenate([fast.points.hi.T, fast.points.lo.T], axis=0)  # (6, M)
+    camg = cam[:, obs.cam_idx]  # (27, K)
+    ptsg = pts[:, obs.pt_idx]  # (6, K)
+    X = [tf.DF(ptsg[i], ptsg[3 + i]) for i in range(3)]
+
+    def R_df(i, j):
+        return tf.DF(camg[3 * i + j], camg[9 + 3 * i + j])
+
+    RX = []
+    for i in range(3):
+        acc = tf.mul(R_df(i, 0), X[0])
+        acc = tf.add(acc, tf.mul(R_df(i, 1), X[1]))
+        acc = tf.add(acc, tf.mul(R_df(i, 2), X[2]))
+        RX.append(acc)
+    XX = [tf.add(RX[i], tf.DF(camg[18 + i], camg[21 + i])) for i in range(3)]
+    return camg, RX, XX
+
+
+def _planar_residual_comps(camg, XX, obs):
+    """(r0, r1, kr, xu0, xu1, r2, invz) planar f32 components of the raw
+    residual chain (shared by the fast energy and Jacobian)."""
+    z = XX[2].hi
+    invz = 1.0 / z
+    xu0 = XX[0].hi * invz
+    xu1 = XX[1].hi * invz
+    r2 = xu0 * xu0 + xu1 * xu1
+    k1, k2, focal = camg[25], camg[26], camg[24]
+    kr = 1.0 + k1 * r2 + k2 * r2 * r2
+    m = obs.measurements.astype(jnp.float32)
+    r0 = focal * kr * xu0 - m[:, 0]
+    r1 = focal * kr * xu1 - m[:, 1]
+    return r0, r1, kr, xu0, xu1, r2, invz
+
+
+def residuals_raw_fast(fast, obs) -> jax.Array:
+    """Unrobustified residuals on the df32 fast state, (K, 2) f32."""
+    camg, _, XX = planar_geometry_df(fast, obs)
+    r0, r1, *_ = _planar_residual_comps(camg, XX, obs)
+    return jnp.stack([r0, r1], axis=-1)
+
+
+def energy_fast(fast, obs, tau2) -> jax.Array:
+    """LM objective on the df32 fast state: compensated f32 reduction.
+
+    The flatline stop compares energies at 1e-8 relative
+    (BacktrackLevMarqCholesky.h:343-350); a plain f32 sum has ~1e-7 noise at
+    K ~ 1e5, so the reduction runs as a two-float tree sum (~2^-48) and only
+    the final SCALAR converts to the accumulation dtype.
+    """
+    camg, _, XX = planar_geometry_df(fast, obs)
+    r0, r1, *_ = _planar_residual_comps(camg, XX, obs)
+    rn2 = r0 * r0 + r1 * r1
+    # psi-scaled squared residual == psi itself (BAFunctor.h:160-178):
+    # (r * sqrt(psi)/max(eps,|r|))^2 summed over the 2 coords = psi(|r|^2),
+    # up to the eps guard which we keep via the same scale formula.
+    tau2f = jnp.asarray(tau2, jnp.float32)
+    sqrt_psi = jnp.sqrt(robust.psi(tau2f, rn2))
+    rnorm = jnp.maximum(jnp.asarray(robust.EPS_PSI_RESIDUAL, jnp.float32),
+                        jnp.sqrt(rn2))
+    s = sqrt_psi / rnorm
+    e = tf.add(
+        tf.sum_df(tf.prod_ff(r0 * s, r0 * s)),
+        tf.sum_df(tf.prod_ff(r1 * s, r1 * s)),
+    )
+    acc = accumulation_dtype(jnp.float32)
+    return tf.to_f64(e) if acc == jnp.float64 else tf.to_f32(e)
+
+
+def compensated_square_sum(f: jax.Array) -> jax.Array:
+    """sum(f*f) with two-float accumulation; result in the accumulation dtype.
+
+    Drop-in replacement for jnp.sum(f*f, dtype=f64), which forces an emulated
+    K-sized f64 reduce on TPU.
+    """
+    if f.dtype == jnp.float64:
+        return jnp.sum(f * f)
+    e = tf.sum_df(tf.prod_ff(f, f))
+    acc = accumulation_dtype(f.dtype)
+    return tf.to_f64(e) if acc == jnp.float64 else tf.to_f32(e)
 
 
 def accumulation_dtype(dtype):

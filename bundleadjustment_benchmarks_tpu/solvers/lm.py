@@ -93,6 +93,11 @@ class LMConfig:
     #: matmuls while state/geometry/reductions stay in the problem dtype.
     #: None = same as the problem dtype. See schur.build_context.
     matmul_dtype: Optional[str] = None
+    #: Geometry arithmetic: None = state dtype (f64 under x64 — XLA emulates
+    #: every f64 HLO on TPU with ~10x-slower while-loops); "df32" = two-float
+    #: compensated f32 (ops/twofloat.py) — f64-quality transform/reductions
+    #: with zero f64 ops on K/M-sized data. The TPU performance drive.
+    geometry: Optional[str] = None
     #: History depth of the flatline test (BacktrackLevMarqCholesky.h:150).
     energy_history_size: int = 2
 
@@ -129,10 +134,49 @@ def _prepare(state, problem, mode: str, matmul_dtype: Optional[str] = None):
         state, problem.obs, problem.tau2, compute_dtype=mm
     )
     acc = projection.accumulation_dtype(blocks.f.dtype)
-    energy = jnp.sum(blocks.f * blocks.f, dtype=acc)
+    energy = projection.compensated_square_sum(blocks.f)
     ctx = schur.build_context(blocks, problem, mode, mm_dtype=mm)
     lam0 = schur.initial_lambda(ctx, mode).astype(acc)
     return ctx, energy, lam0
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
+def _prepare_fast(fast, problem, mode: str, matmul_dtype: Optional[str] = None):
+    """df32-geometry prepare: same outputs as _prepare, zero f64 HLOs on
+    K/M-sized data (the TPU performance path; see LMConfig.geometry)."""
+    mm = _mm(matmul_dtype)
+    blocks = jacobian.residuals_and_jacobian_fast(fast, problem.obs, problem.tau2)
+    energy = projection.compensated_square_sum(blocks.f)
+    ctx = schur.build_context(blocks, problem, mode, mm_dtype=mm)
+    acc = projection.accumulation_dtype(blocks.f.dtype)
+    lam0 = schur.initial_lambda(ctx, mode).astype(acc)
+    return ctx, energy, lam0
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
+def _trial_fast(
+    ctx, fast, lam, problem, mode: str, matmul_dtype: Optional[str] = None
+):
+    """df32-geometry damping trial.
+
+    The point factor keeps its f64 accumulation: a clamped f32 Cholesky of
+    the f32-formed V measurably degrades step quality near convergence
+    (LM stalls ~3x above the f64 plateau), while the closed-form 3x3 factor
+    is pure ELEMENT-WISE math — the only TPU-catastrophic f64 HLOs are
+    dot_general/reduce, so this f64 island costs ~nothing.
+    """
+    mm = _mm(matmul_dtype)
+    dxp, dxc = schur.solve_damped(
+        ctx,
+        jnp.asarray(lam, jnp.float32),
+        problem,
+        mode,
+        mm_dtype=mm,
+    )
+    x_test = problem_mod.apply_step_fast(fast, dxp, dxc)
+    e_test = projection.energy_fast(x_test, problem.obs, problem.tau2)
+    rho_scale = schur.gradient_dot(ctx, dxp, dxc, lam)
+    return x_test, e_test, rho_scale
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
@@ -297,6 +341,14 @@ def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
 @functools.partial(jax.jit, static_argnames=("mode", "config"))
 def _minimize_jit(state0, problem, mode: str, config: LMConfig):
     dtype = state0.T.dtype
+    if config.geometry == "df32":
+        fast0 = problem_mod.to_fast(state0)
+        prepare = lambda s: _prepare_fast(s, problem, mode, config.matmul_dtype)  # noqa: E731
+        trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
+            ctx, s, lam, problem, mode, config.matmul_dtype
+        )
+        final = lm_loop(fast0, prepare, trial, config, dtype)
+        return final._replace(x=problem_mod.from_fast(final.x, dtype=dtype))
     prepare = lambda s: _prepare(s, problem, mode, config.matmul_dtype)  # noqa: E731
     trial = lambda ctx, s, lam: _trial(  # noqa: E731
         ctx, s, lam, problem, mode, config.matmul_dtype
@@ -472,8 +524,20 @@ def minimize(
     state = state if state is not None else problem.state
 
     if config.drive == "host":
-        prepare = lambda s: _prepare(s, problem, mode)  # noqa: E731
-        trial = lambda ctx, s, lam: _trial(ctx, s, lam, problem, mode)  # noqa: E731
+        if config.geometry == "df32":
+            fast = problem_mod.to_fast(state)
+            prepare = lambda s: _prepare_fast(  # noqa: E731
+                s, problem, mode, config.matmul_dtype
+            )
+            trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
+                ctx, s, lam, problem, mode, config.matmul_dtype
+            )
+            res = host_loop(fast, prepare, trial, config)
+            return res._replace(state=problem_mod.from_fast(res.state))
+        prepare = lambda s: _prepare(s, problem, mode, config.matmul_dtype)  # noqa: E731
+        trial = lambda ctx, s, lam: _trial(  # noqa: E731
+            ctx, s, lam, problem, mode, config.matmul_dtype
+        )
         return host_loop(state, prepare, trial, config)
 
     final = _minimize_jit(state, problem, mode, config)
