@@ -83,23 +83,27 @@ def residuals_and_jacobian(state, obs, tau2, compute_dtype=None) -> JacobianBloc
     )
 
 
-def residuals_and_jacobian_fast(fast, obs, tau2) -> JacobianBlocks:
-    """df32 planar variant: identical math to residuals_and_jacobian, written
-    as scalar-component ("planar") arithmetic over (K,) rows.
+#: Row layout of the planar chain output: f(2), Jc row0(9), Jc row1(9),
+#: Jp row0(3), Jp row1(3).
+PLANAR_CHAIN_ROWS = 26
 
-    Two TPU-specific deviations from the array-of-structs formulation, both
-    value-preserving:
-      * the world->camera transform runs in two-float arithmetic
-        (projection.planar_geometry_df) — zero f64 HLOs on K/M-sized data;
-      * every (K, a, b)-shaped intermediate with tiny trailing dims is
-        replaced by its (K,) scalar components — tiny trailing dims waste
-        ~95% of each (8, 128) vector tile and their slicing costs a strided
-        relayout per component. Only the final Jc/Jp/f blocks are assembled
-        (one transpose each) for the downstream MXU grams.
+
+def planar_blocks_chain(camg, ptsg, m0, m1, tau2):
+    """Full robustified residual + Jacobian chain on planar f32 components.
+
+    ``camg``/``ptsg`` are indexables of 27/6 like-shaped f32 components (rows
+    of a stacked array); ``m0``/``m1`` the measurement components. The same
+    code runs as XLA element-wise ops over (K,) rows and inside Pallas
+    kernels over (sublane, lane) tiles — this is the single source of truth
+    for the df32 chain math (see residuals_and_jacobian_fast for the
+    derivation notes and reference citations).
+
+    Returns a list of PLANAR_CHAIN_ROWS components:
+    [f0, f1, jc0_0..jc0_8, jc1_0..jc1_8, jp0_0..jp0_2, jp1_0..jp1_2].
     """
-    camg, RX, XX = projection.planar_geometry_df(fast, obs)
-    r0, r1, kr, xu0, xu1, r2, invz = projection._planar_residual_comps(
-        camg, XX, obs
+    RX, XX = projection.planar_transform_df(camg, ptsg)
+    r0, r1, kr, xu0, xu1, r2, invz = projection.planar_residual_comps(
+        camg, XX, m0, m1
     )
     focal, k1, k2 = camg[24], camg[25], camg[26]
 
@@ -174,13 +178,42 @@ def residuals_and_jacobian_fast(fast, obs, tau2) -> JacobianBlocks:
     jp = rob(jp)
     s = sqrt_psi * rnorm_inv  # residual scale (robust.robust_scale)
     f0, f1 = r0 * s, r1 * s
+    return [f0, f1] + jc[0] + jc[1] + jp[0] + jp[1]
 
-    # Assemble planar components into the block tensors consumed by the MXU
-    # grams: one stack + transpose each (single relayout instead of dozens).
-    Jc = jnp.stack(jc[0] + jc[1], axis=0).T.reshape(-1, 2, 9)
-    Jp = jnp.stack(jp[0] + jp[1], axis=0).T.reshape(-1, 2, 3)
-    f = jnp.stack([f0, f1], axis=0).T
+
+def blocks_from_planar_rows(rows) -> JacobianBlocks:
+    """Assemble PLANAR_CHAIN_ROWS planar components (a list of (K,) arrays or
+    a (26, K) array) into the block tensors consumed by the MXU grams: one
+    stack + transpose each (single relayout instead of dozens)."""
+    if not isinstance(rows, (list, tuple)):
+        rows = [rows[i] for i in range(rows.shape[0])]
+    Jc = jnp.stack(rows[2:20], axis=0).T.reshape(-1, 2, 9)
+    Jp = jnp.stack(rows[20:26], axis=0).T.reshape(-1, 2, 3)
+    f = jnp.stack(rows[0:2], axis=0).T
     return JacobianBlocks(Jc=Jc, Jp=Jp, f=f)
+
+
+def residuals_and_jacobian_fast(fast, obs, tau2) -> JacobianBlocks:
+    """df32 planar variant: identical math to residuals_and_jacobian, written
+    as scalar-component ("planar") arithmetic over (K,) rows.
+
+    Two TPU-specific deviations from the array-of-structs formulation, both
+    value-preserving:
+      * the world->camera transform runs in two-float arithmetic
+        (projection.planar_transform_df) — zero f64 HLOs on K/M-sized data;
+      * every (K, a, b)-shaped intermediate with tiny trailing dims is
+        replaced by its (K,) scalar components — tiny trailing dims waste
+        ~95% of each (8, 128) vector tile and their slicing costs a strided
+        relayout per component. Only the final Jc/Jp/f blocks are assembled
+        (one transpose each) for the downstream MXU grams.
+
+    See also ops/pallas_chain.py, which runs the same planar_blocks_chain
+    inside one fused Pallas kernel (the TPU production path).
+    """
+    camg, ptsg = projection.planar_gather(fast, obs)
+    m = obs.measurements.astype(jnp.float32)
+    rows = planar_blocks_chain(camg, ptsg, m[:, 0], m[:, 1], tau2)
+    return blocks_from_planar_rows(rows)
 
 
 def _blocks_from_geometry(R, RXmT, XX, focal, k1, k2, measurements, tau2):

@@ -170,21 +170,27 @@ def planar_camera_pack(fast) -> jax.Array:
     )
 
 
-def planar_geometry_df(fast, obs):
-    """Per-observation df32 geometry in planar form (zero f64 HLOs on K/M data).
+def planar_gather(fast, obs):
+    """Gather the per-observation planar operands (XLA-side, outside kernels).
 
-    The world->camera transform XX = R X + T (CameraMatrix.cpp:259-261) is the
-    single precision-critical step: |R X| ~ 1e4 cancels to z ~ 4, so products
-    must be exact (two_prod) and the accumulation compensated. Everything
-    downstream of the perspective division is O(1)-to-O(f) and f32 suffices.
-
-    Returns (camg (27, K) f32 planar camera components, RX list of 3 DF
-    (K,)-components == R X, XX list of 3 DF == R X + T).
+    Returns (camg (27, K), ptsg (6, K)) f32 planar components.
     """
     cam = planar_camera_pack(fast)  # (27, N)
     pts = jnp.concatenate([fast.points.hi.T, fast.points.lo.T], axis=0)  # (6, M)
-    camg = cam[:, obs.cam_idx]  # (27, K)
-    ptsg = pts[:, obs.pt_idx]  # (6, K)
+    return cam[:, obs.cam_idx], pts[:, obs.pt_idx]
+
+
+def planar_transform_df(camg, ptsg):
+    """World->camera transform in two-float arithmetic on planar components.
+
+    The single precision-critical step (CameraMatrix.cpp:259-261): |R X| ~ 1e4
+    cancels to z ~ 4, so products must be exact (two_prod) and the
+    accumulation compensated. ``camg``/``ptsg`` are any indexables of
+    like-shaped f32 components (rows of a (27, ...) array work) — the same
+    code runs as XLA element-wise ops and inside Pallas kernels on tiles.
+
+    Returns (RX list of 3 DF == R X, XX list of 3 DF == R X + T).
+    """
     X = [tf.DF(ptsg[i], ptsg[3 + i]) for i in range(3)]
 
     def R_df(i, j):
@@ -197,12 +203,23 @@ def planar_geometry_df(fast, obs):
         acc = tf.add(acc, tf.mul(R_df(i, 2), X[2]))
         RX.append(acc)
     XX = [tf.add(RX[i], tf.DF(camg[18 + i], camg[21 + i])) for i in range(3)]
+    return RX, XX
+
+
+def planar_geometry_df(fast, obs):
+    """Per-observation df32 geometry in planar form (zero f64 HLOs on K/M data).
+
+    Returns (camg (27, K) f32 planar camera components, RX list of 3 DF
+    (K,)-components == R X, XX list of 3 DF == R X + T).
+    """
+    camg, ptsg = planar_gather(fast, obs)
+    RX, XX = planar_transform_df(camg, ptsg)
     return camg, RX, XX
 
 
-def _planar_residual_comps(camg, XX, obs):
+def planar_residual_comps(camg, XX, m0, m1):
     """(r0, r1, kr, xu0, xu1, r2, invz) planar f32 components of the raw
-    residual chain (shared by the fast energy and Jacobian)."""
+    residual chain (shared by the fast energy and Jacobian; kernel-safe)."""
     z = XX[2].hi
     invz = 1.0 / z
     xu0 = XX[0].hi * invz
@@ -210,10 +227,29 @@ def _planar_residual_comps(camg, XX, obs):
     r2 = xu0 * xu0 + xu1 * xu1
     k1, k2, focal = camg[25], camg[26], camg[24]
     kr = 1.0 + k1 * r2 + k2 * r2 * r2
-    m = obs.measurements.astype(jnp.float32)
-    r0 = focal * kr * xu0 - m[:, 0]
-    r1 = focal * kr * xu1 - m[:, 1]
+    r0 = focal * kr * xu0 - m0
+    r1 = focal * kr * xu1 - m1
     return r0, r1, kr, xu0, xu1, r2, invz
+
+
+def _planar_residual_comps(camg, XX, obs):
+    m = obs.measurements.astype(jnp.float32)
+    return planar_residual_comps(camg, XX, m[:, 0], m[:, 1])
+
+
+def planar_energy_df(camg, XX, m0, m1, tau2) -> tf.DF:
+    """Per-observation robustified squared residual (== psi contribution) as a
+    DF, on planar components (kernel-safe). Summing the returned DF over
+    observations gives the LM objective to ~2^-48 relative."""
+    r0, r1, *_ = planar_residual_comps(camg, XX, m0, m1)
+    rn2 = r0 * r0 + r1 * r1
+    tau2f = jnp.asarray(tau2, jnp.float32)
+    sqrt_psi = jnp.sqrt(robust.psi(tau2f, rn2))
+    rnorm = jnp.maximum(
+        jnp.asarray(robust.EPS_PSI_RESIDUAL, jnp.float32), jnp.sqrt(rn2)
+    )
+    s = sqrt_psi / rnorm
+    return tf.add(tf.prod_ff(r0 * s, r0 * s), tf.prod_ff(r1 * s, r1 * s))
 
 
 def residuals_raw_fast(fast, obs) -> jax.Array:
@@ -232,20 +268,11 @@ def energy_fast(fast, obs, tau2) -> jax.Array:
     the final SCALAR converts to the accumulation dtype.
     """
     camg, _, XX = planar_geometry_df(fast, obs)
-    r0, r1, *_ = _planar_residual_comps(camg, XX, obs)
-    rn2 = r0 * r0 + r1 * r1
+    m = obs.measurements.astype(jnp.float32)
     # psi-scaled squared residual == psi itself (BAFunctor.h:160-178):
     # (r * sqrt(psi)/max(eps,|r|))^2 summed over the 2 coords = psi(|r|^2),
     # up to the eps guard which we keep via the same scale formula.
-    tau2f = jnp.asarray(tau2, jnp.float32)
-    sqrt_psi = jnp.sqrt(robust.psi(tau2f, rn2))
-    rnorm = jnp.maximum(jnp.asarray(robust.EPS_PSI_RESIDUAL, jnp.float32),
-                        jnp.sqrt(rn2))
-    s = sqrt_psi / rnorm
-    e = tf.add(
-        tf.sum_df(tf.prod_ff(r0 * s, r0 * s)),
-        tf.sum_df(tf.prod_ff(r1 * s, r1 * s)),
-    )
+    e = tf.sum_df(planar_energy_df(camg, XX, m[:, 0], m[:, 1], tau2))
     acc = accumulation_dtype(jnp.float32)
     return tf.to_f64(e) if acc == jnp.float64 else tf.to_f32(e)
 

@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from bundleadjustment_benchmarks_tpu.models import problem as problem_mod
-from bundleadjustment_benchmarks_tpu.ops import jacobian, projection
+from bundleadjustment_benchmarks_tpu.ops import jacobian, pallas_chain, projection
 from bundleadjustment_benchmarks_tpu.solvers import schur
 
 
@@ -98,8 +98,19 @@ class LMConfig:
     #: compensated f32 (ops/twofloat.py) — f64-quality transform/reductions
     #: with zero f64 ops on K/M-sized data. The TPU performance drive.
     geometry: Optional[str] = None
+    #: Fuse the per-observation df32 chain into Pallas TPU kernels
+    #: (ops/pallas_chain.py). None = auto (on when the backend is TPU and
+    #: geometry == "df32"); only meaningful for the df32 geometry drive.
+    pallas: Optional[bool] = None
     #: History depth of the flatline test (BacktrackLevMarqCholesky.h:150).
     energy_history_size: int = 2
+
+    def use_pallas(self) -> bool:
+        if self.geometry != "df32":
+            return False
+        if self.pallas is None:
+            return pallas_chain.available()
+        return bool(self.pallas)
 
 
 class LMResult(NamedTuple):
@@ -140,22 +151,34 @@ def _prepare(state, problem, mode: str, matmul_dtype: Optional[str] = None):
     return ctx, energy, lam0
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
-def _prepare_fast(fast, problem, mode: str, matmul_dtype: Optional[str] = None):
+@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype", "pallas"))
+def _prepare_fast(fast, problem, mode: str, matmul_dtype: Optional[str] = None,
+                  pallas: bool = False):
     """df32-geometry prepare: same outputs as _prepare, zero f64 HLOs on
-    K/M-sized data (the TPU performance path; see LMConfig.geometry)."""
+    K/M-sized data (the TPU performance path; see LMConfig.geometry).
+
+    ``pallas=True`` runs the per-observation chain (residuals + Jacobian
+    blocks + energy) as ONE fused Pallas kernel — same math, one launch."""
     mm = _mm(matmul_dtype)
-    blocks = jacobian.residuals_and_jacobian_fast(fast, problem.obs, problem.tau2)
-    energy = projection.compensated_square_sum(blocks.f)
+    if pallas:
+        blocks, energy = pallas_chain.fused_blocks_energy(
+            fast, problem.obs, problem.tau2
+        )
+    else:
+        blocks = jacobian.residuals_and_jacobian_fast(
+            fast, problem.obs, problem.tau2
+        )
+        energy = projection.compensated_square_sum(blocks.f)
     ctx = schur.build_context(blocks, problem, mode, mm_dtype=mm)
     acc = projection.accumulation_dtype(blocks.f.dtype)
     lam0 = schur.initial_lambda(ctx, mode).astype(acc)
     return ctx, energy, lam0
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
+@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype", "pallas"))
 def _trial_fast(
-    ctx, fast, lam, problem, mode: str, matmul_dtype: Optional[str] = None
+    ctx, fast, lam, problem, mode: str, matmul_dtype: Optional[str] = None,
+    pallas: bool = False,
 ):
     """df32-geometry damping trial.
 
@@ -174,7 +197,10 @@ def _trial_fast(
         mm_dtype=mm,
     )
     x_test = problem_mod.apply_step_fast(fast, dxp, dxc)
-    e_test = projection.energy_fast(x_test, problem.obs, problem.tau2)
+    if pallas:
+        e_test = pallas_chain.fused_energy(x_test, problem.obs, problem.tau2)
+    else:
+        e_test = projection.energy_fast(x_test, problem.obs, problem.tau2)
     rho_scale = schur.gradient_dot(ctx, dxp, dxc, lam)
     return x_test, e_test, rho_scale
 
@@ -343,9 +369,12 @@ def _minimize_jit(state0, problem, mode: str, config: LMConfig):
     dtype = state0.T.dtype
     if config.geometry == "df32":
         fast0 = problem_mod.to_fast(state0)
-        prepare = lambda s: _prepare_fast(s, problem, mode, config.matmul_dtype)  # noqa: E731
+        use_pl = config.use_pallas()
+        prepare = lambda s: _prepare_fast(  # noqa: E731
+            s, problem, mode, config.matmul_dtype, pallas=use_pl
+        )
         trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
-            ctx, s, lam, problem, mode, config.matmul_dtype
+            ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl
         )
         final = lm_loop(fast0, prepare, trial, config, dtype)
         return final._replace(x=problem_mod.from_fast(final.x, dtype=dtype))
@@ -526,11 +555,12 @@ def minimize(
     if config.drive == "host":
         if config.geometry == "df32":
             fast = problem_mod.to_fast(state)
+            use_pl = config.use_pallas()
             prepare = lambda s: _prepare_fast(  # noqa: E731
-                s, problem, mode, config.matmul_dtype
+                s, problem, mode, config.matmul_dtype, pallas=use_pl
             )
             trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
-                ctx, s, lam, problem, mode, config.matmul_dtype
+                ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl
             )
             res = host_loop(fast, prepare, trial, config)
             return res._replace(state=problem_mod.from_fast(res.state))
