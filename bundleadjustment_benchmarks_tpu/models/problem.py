@@ -96,6 +96,114 @@ class BAObservations:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class PairTables:
+    """Static gather tables for the observation-pair Schur gram.
+
+    The reduced camera matrix S = Z^T Z only couples cameras that co-observe
+    a point: block (ca, cb) = sum over observation pairs (i, j) of the same
+    point with cam_i = ca, cam_j = cb of C_i C_j^T. Enumerating those pairs
+    directly costs sum_p L_p(L_p-1)/2 tiny products — ~1000x fewer FLOPs at
+    BAL scale than the dense (3M, 9N) x (9N,) gram matmul the chunked builder
+    performs (docs/DESIGN.md section 3), and it is pure gather + VPU/MXU work
+    (XLA scatter is unusable on TPU at this scale).
+
+    All tables are built once from the static (cam_idx, pt_idx) structure:
+
+      row_a/row_b: (R, l_row) observation indices of pair members; each row
+        holds up to l_row pairs OF ONE (ca, cb) key (rows are key-pure;
+        long keys are split across rows for load balance). Sentinel K
+        gathers a zero block.
+      key_table: (KO, rmax) row ids per observed key, sentinel R.
+      key_to_obs: (N*N,) dense key -> observed-key index, sentinel KO; the
+        final placement is thus a GATHER into the dense (N, N, 9, 9) upper
+        block array — no scatter anywhere. Strictly-upper keys only
+        (ca < cb); the diagonal blocks sum C_i C_i^T per camera and are
+        computed by the existing per-camera segment gram.
+    """
+
+    row_a: jax.Array  # (R, l_row) int32, sentinel = n_observations
+    row_b: jax.Array  # (R, l_row) int32, sentinel = n_observations
+    key_table: jax.Array  # (KO, rmax) int32, sentinel = R
+    key_to_obs: jax.Array  # (N*N,) int32, sentinel = KO
+
+
+def _pair_tables(
+    pt_idx: np.ndarray, cam_idx: np.ndarray, n_cameras: int, l_row: int = 16
+) -> Optional[PairTables]:
+    """Build PairTables from sorted pt_idx (numpy, load-time, O(#pairs))."""
+    k = pt_idx.shape[0]
+    n_points = int(pt_idx.max()) + 1 if k else 0
+    counts = np.bincount(pt_idx, minlength=n_points)
+    starts = np.zeros(n_points, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+
+    # Enumerate strict pairs (i < j) within each point segment, vectorized
+    # per multiplicity class L (few distinct L values in BAL data).
+    a_parts, b_parts = [], []
+    for L in np.unique(counts):
+        if L < 2:
+            continue
+        pts = np.nonzero(counts == L)[0]
+        ia, ib = np.triu_indices(int(L), k=1)
+        base = starts[pts][:, None]
+        a_parts.append((base + ia[None, :]).ravel())
+        b_parts.append((base + ib[None, :]).ravel())
+    if not a_parts:
+        return None
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    ca = cam_idx[a].astype(np.int64)
+    cb = cam_idx[b].astype(np.int64)
+    # Orient so ca < cb (distinct observations of one point never share a
+    # camera in BAL; S block (cb, ca) is the transpose, added at assembly).
+    swap = ca > cb
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    key = np.minimum(ca, cb) * n_cameras + np.maximum(ca, cb)
+
+    order = np.argsort(key, kind="stable")
+    a2, b2, key = a2[order], b2[order], key[order]
+    q = key.shape[0]
+
+    ukeys, key_counts = np.unique(key, return_counts=True)
+    ko = ukeys.shape[0]
+    rows_per_key = -(-key_counts // l_row)
+    row_off = np.zeros(ko + 1, dtype=np.int64)
+    np.cumsum(rows_per_key, out=row_off[1:])
+    r = int(row_off[-1])
+
+    # Position of each pair within its key, then (row, slot).
+    key_start = np.zeros(ko, dtype=np.int64)
+    np.cumsum(key_counts[:-1], out=key_start[1:])
+    key_id = np.repeat(np.arange(ko), key_counts)
+    pos = np.arange(q) - key_start[key_id]
+    row_id = row_off[key_id] + pos // l_row
+    slot = pos % l_row
+
+    row_a = np.full((r, l_row), k, dtype=np.int32)
+    row_b = np.full((r, l_row), k, dtype=np.int32)
+    row_a[row_id, slot] = a2.astype(np.int32)
+    row_b[row_id, slot] = b2.astype(np.int32)
+
+    rmax = int(rows_per_key.max())
+    key_table = np.full((ko, rmax), r, dtype=np.int32)
+    kk = np.repeat(np.arange(ko), rows_per_key)
+    rpos = np.arange(r) - row_off[kk]
+    key_table[kk, rpos] = np.arange(r, dtype=np.int32)
+
+    key_to_obs = np.full(n_cameras * n_cameras, ko, dtype=np.int32)
+    key_to_obs[ukeys] = np.arange(ko, dtype=np.int32)
+
+    return PairTables(
+        row_a=jnp.asarray(row_a),
+        row_b=jnp.asarray(row_b),
+        key_table=jnp.asarray(key_table),
+        key_to_obs=jnp.asarray(key_to_obs),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class BAProblem:
     """A full BA problem: state + observations + robust threshold + segment maps.
 
@@ -112,6 +220,9 @@ class BAProblem:
     cam_obs_idx: jax.Array  # (N, Lcam) int32, padded with n_observations
     inlier_threshold: float = dataclasses.field(metadata=dict(static=True))
     avg_focal_length: float = dataclasses.field(metadata=dict(static=True))
+    #: Optional pair tables for the observation-pair Schur gram (see
+    #: PairTables); None falls back to the chunked dense gram.
+    pairs: Optional[PairTables] = None
 
     @property
     def tau2(self) -> float:
@@ -223,6 +334,7 @@ def from_bal_dataset(
         cam_obs_idx=jnp.asarray(cam_table),
         inlier_threshold=float(inlier_threshold),
         avg_focal_length=float(avg_focal_length),
+        pairs=_pair_tables(pt_idx, cam_idx, n),
     )
 
 

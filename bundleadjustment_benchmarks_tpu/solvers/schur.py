@@ -149,15 +149,16 @@ def segment_gram_and_vec(blk, f, table, slot_chunk: int = 1024):
     traffic for D=9 and the reduction rides the MXU instead of a VPU tree-sum.
 
     Args:
-      blk: (K, 2, D) per-observation row blocks.
-      f: (K, 2) residual rows.
+      blk: (K, rows, D) per-observation row blocks (rows=2 for residual
+        blocks, 3 for Z's coupling rows).
+      f: (K, rows) residual rows.
       table: (S, L) gather table with sentinel K (padded rows gather zeros).
     Returns (G (S, D, D), v (S, D)).
     """
-    k, _, d = blk.shape
+    k, nrows, d = blk.shape
     s, l = table.shape
-    blk_ext = jnp.concatenate([blk, jnp.zeros((1, 2, d), blk.dtype)], axis=0)
-    f_ext = jnp.concatenate([f, jnp.zeros((1, 2), f.dtype)], axis=0)
+    blk_ext = jnp.concatenate([blk, jnp.zeros((1, nrows, d), blk.dtype)], axis=0)
+    f_ext = jnp.concatenate([f, jnp.zeros((1, nrows), f.dtype)], axis=0)
     acc = jnp.float32 if blk.dtype == jnp.bfloat16 else jnp.dtype(blk.dtype)
 
     def gram_of(tbl):
@@ -281,6 +282,141 @@ def _schur_gram_chunked(C, w, y, cam_idx, table, n_cameras: int, mm):
     xs = (table_c, y_c) if w is None else (table_c, y_c, w_c)
     (S, b), _ = jax.lax.scan(body, init, xs)
     return S, b
+
+
+def planar_table_sum(P, table, budget_bytes: int = 64 << 20):
+    """Planar segment sum: out[:, s] = sum_l P[:, table[s, l]].
+
+    ``P`` is (C, K) planar components (K on the lane axis — contiguous,
+    full-tile rows; see projection.planar_camera_pack for the layout
+    rationale); ``table`` an (S, L) gather table with sentinel K. Large L is
+    chunked so the gathered (C, S, chunk) intermediate stays under budget.
+    """
+    c, k = P.shape
+    s, l = table.shape
+    P_ext = jnp.concatenate([P, jnp.zeros((c, 1), P.dtype)], axis=1)
+    slot_chunk = max(64, budget_bytes // max(c * s * P.dtype.itemsize, 1))
+    if l <= slot_chunk:
+        return P_ext[:, table].sum(axis=2)
+    nch = -(-l // slot_chunk)
+    pad = nch * slot_chunk - l
+    tbl = jnp.pad(table, ((0, 0), (0, pad)), constant_values=k)
+    tbl = jnp.moveaxis(tbl.reshape(s, nch, slot_chunk), 1, 0)
+
+    def body(acc, t):
+        return acc + P_ext[:, t].sum(axis=2), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((c, s), P.dtype), tbl)
+    return out
+
+
+#: Upper-triangle component order of a symmetric 9x9 block.
+_SYM45 = [(i, j) for i in range(9) for j in range(i, 9)]
+
+
+def _schur_gram_pairs(C27, ysT, pairs, cam_obs_idx, pt_idx, n_cameras: int, mm):
+    """S_sum = Z^T Z and b_sum = Z^T y via observation pairs (scatter-free).
+
+    The asymptotically right gram at BAL scale (docs/DESIGN.md section 3):
+    block (ca, cb) of Z^T Z only couples cameras that co-observe a point and
+    equals a sum of C_i C_j^T over same-point observation pairs — sum_p L_p^2
+    tiny products instead of the dense (3M, 9N)^T (3M, 9N) matmul (~1000x
+    fewer FLOPs at problem-257 scale). Everything runs PLANAR — (component,
+    K) arrays, full-lane element-wise VPU work — because gathered (K, 9, 3)
+    block tensors waste ~97% of each (8, 128) tile and their slices each cost
+    a strided relayout (measured: the blocky formulation of this very gram
+    was SLOWER than the dense-chunk one it replaces).
+
+      * diagonal blocks: 45 symmetric products + 9 rhs products per
+        observation, one planar gather-sum over the camera table;
+      * strictly-upper pairs: gather pair members by the key-pure row tables,
+        81 products + row sums, per-key sums via the key table, then ONE
+        dense gather places every block at its (ca, cb) grid cell; the lower
+        triangle is the block-transpose, the diagonal an eye-masked add.
+
+    Args:
+      C27: (27, K) planar coupling components, C27[3i+c] = C[k][i][c], with
+        any sqrt-row-weights already folded in.
+      ysT: (3, M) planar rhs rows (same scaling).
+    Returns (S_sum (9N, 9N), b_sum (9N,)) in the accumulation dtype.
+    """
+    n = n_cameras
+    acc = jnp.float32 if jnp.dtype(mm) == jnp.bfloat16 else jnp.dtype(mm)
+    C27 = C27.astype(mm)
+    yg = ysT.astype(mm)[:, pt_idx]  # (3, K)
+
+    # ---- diagonal blocks + rhs: per-observation products, camera table sum.
+    prods = [
+        C27[3 * i] * C27[3 * j]
+        + C27[3 * i + 1] * C27[3 * j + 1]
+        + C27[3 * i + 2] * C27[3 * j + 2]
+        for (i, j) in _SYM45
+    ] + [
+        C27[3 * i] * yg[0] + C27[3 * i + 1] * yg[1] + C27[3 * i + 2] * yg[2]
+        for i in range(9)
+    ]
+    P = jnp.stack(prods).astype(acc)  # (54, K)
+    sums = planar_table_sum(P, cam_obs_idx)  # (54, N)
+    # Expand the 45 symmetric components to a full (81, N) diagonal block.
+    sym_full = [[None] * 9 for _ in range(9)]
+    for q, (i, j) in enumerate(_SYM45):
+        sym_full[i][j] = sums[q]
+        sym_full[j][i] = sums[q]
+    diag81 = jnp.stack([sym_full[i][j] for i in range(9) for j in range(9)])
+    b = sums[45:].T.reshape(-1)  # (9N,) camera-major
+
+    # ---- strictly-upper pairs.
+    r, l_row = pairs.row_a.shape
+    C_ext = jnp.concatenate([C27, jnp.zeros((27, 1), mm)], axis=1)
+    A = C_ext[:, pairs.row_a.reshape(-1)].reshape(27, r, l_row)
+    B = C_ext[:, pairs.row_b.reshape(-1)].reshape(27, r, l_row)
+    out81 = [
+        (
+            A[3 * i] * B[3 * j]
+            + A[3 * i + 1] * B[3 * j + 1]
+            + A[3 * i + 2] * B[3 * j + 2]
+        ).sum(axis=1, dtype=acc)
+        for i in range(9)
+        for j in range(9)
+    ]
+    O = jnp.stack(out81)  # (81, R)
+    O_ext = jnp.concatenate([O, jnp.zeros((81, 1), acc)], axis=1)
+    ko, rmax = pairs.key_table.shape
+    key_sums = O_ext[:, pairs.key_table].sum(axis=2)  # (81, KO)
+    key_ext = jnp.concatenate([key_sums, jnp.zeros((81, 1), acc)], axis=1)
+    up4 = key_ext[:, pairs.key_to_obs].reshape(9, 9, n, n)
+
+    full4 = up4 + jnp.transpose(up4, (1, 0, 3, 2))
+    eye = jnp.eye(n, dtype=acc)
+    full4 = full4 + diag81.reshape(9, 9, n)[..., None] * eye
+    S = jnp.transpose(full4, (2, 0, 3, 1)).reshape(9 * n, 9 * n)
+    return S, b.astype(acc)
+
+
+def _planar27(x, mm):
+    """(K, 9, 3) block tensor -> (27, K) planar components (one relayout)."""
+    return x.reshape(x.shape[0], 27).T.astype(mm)
+
+
+def _schur_gram(C, w, y, problem, n_cameras: int, mm):
+    """Dispatch: observation-pair gram when the problem carries PairTables,
+    else the chunked dense gram. ``w`` (M, 3) row weights are folded in as
+    sqrt-scalings of C's columns and y (Z's rows come in per-point triples)."""
+    pairs = getattr(problem, "pairs", None)
+    if pairs is None:
+        return _schur_gram_chunked(
+            C, w, y, problem.obs.cam_idx, problem.pt_obs_idx, n_cameras, mm
+        )
+    if w is None:
+        Cs, ys = C, y
+    else:
+        sw = jnp.sqrt(w)
+        Cs = C * sw[problem.obs.pt_idx][:, None, :]
+        ys = y * sw
+    return _schur_gram_pairs(
+        _planar27(Cs, mm), ys.T, pairs, problem.cam_obs_idx,
+        problem.obs.pt_idx, n_cameras, mm,
+    )
 
 
 def build_context(
@@ -411,18 +547,46 @@ def _point_factor_inv(ctx: SchurContext, lam, mode: str, dtype, acc_dtype=None):
     raise ValueError(f"no explicit point factor for mode {mode}")
 
 
-def _reduced_system_chol(ctx, lam, cam_idx, pt_idx, table, n, m, Linv, mm):
-    """Form S = blkdiag(U + lam I) - Z^T Z and rhs b via the chunked gram.
+def _reduced_system_chol(ctx, lam, problem, n, m, Linv, mm):
+    """Form S = blkdiag(U + lam I) - Z^T Z and rhs b via the Schur gram
+    (observation-pair tables when available, chunked dense fallback).
 
-    The Z chunks and their matmuls run in ``mm`` (f32 on TPU); Z's entries
-    are point-whitened (C = W L^-T), so their scale is tame. The assembled S
+    The gram matmuls run in ``mm`` (f32 on TPU); Z's entries are
+    point-whitened (C = W L^-T), so their scale is tame. The assembled S
     and rhs are promoted back to the accurate dtype for the reduced solve.
     """
     dtype = ctx.U.dtype
-    # C_i = W_i L_p^-T  (point-whitened coupling).
-    C = jnp.einsum("kij,kcj->kic", ctx.W, Linv[pt_idx])  # (K, 9, 3)
+    pt_idx = problem.obs.pt_idx
     y = jnp.einsum("mij,mj->mi", Linv, ctx.g_pts)  # L^-1 g_p
-    S_sum, b_sum = _schur_gram_chunked(C, None, y, cam_idx, table, n, mm)
+    pairs = getattr(problem, "pairs", None)
+    if pairs is not None:
+        # Planar path: C_i = W_i L_p^-T built component-wise — one relayout
+        # of W, a 9-component gather of Linv, 27 fused FMAs; no (K, 9, 3)
+        # intermediates (see _schur_gram_pairs for why that matters).
+        # The FMAs run in the ACCURATE dtype (matching the chunked path,
+        # which forms C in ``dtype`` and only casts the gram operands): a
+        # point-whitening product formed in f32 measurably degrades mixed-
+        # precision LM steps. Element-wise f64 is cheap on TPU — only
+        # dot_general/reduce f64 HLOs are catastrophic — and the df32 drive
+        # has dtype == f32 anyway, so its planar chain stays pure-f32.
+        W27 = _planar27(ctx.W, dtype)  # (27, K), comp 3i+j = W[k][i][j]
+        Lg = Linv.reshape(m, 9).T.astype(dtype)[:, pt_idx]  # (9,K): 3c+j
+        C27 = jnp.stack([
+            W27[3 * i] * Lg[3 * c]
+            + W27[3 * i + 1] * Lg[3 * c + 1]
+            + W27[3 * i + 2] * Lg[3 * c + 2]
+            for i in range(9)
+            for c in range(3)
+        ]).astype(mm)
+        S_sum, b_sum = _schur_gram_pairs(
+            C27, y.T, pairs, problem.cam_obs_idx, pt_idx, n, mm
+        )
+    else:
+        # C_i = W_i L_p^-T  (point-whitened coupling).
+        C = jnp.einsum("kij,kcj->kic", ctx.W, Linv[pt_idx])  # (K, 9, 3)
+        S_sum, b_sum = _schur_gram_chunked(
+            C, None, y, problem.obs.cam_idx, problem.pt_obs_idx, n, mm
+        )
     S = -S_sum.astype(dtype)
     S4 = S.reshape(n, 9, n, 9)
     ar = jnp.arange(n)
@@ -515,9 +679,23 @@ def solve_damped(
 
     if point_factor == "eig":
         winv = 1.0 / (ctx.evals + lam)  # (M, 3)
-        S_sum, b_sum = _schur_gram_chunked(
-            ctx.WQ, winv, ctx.y0, cam_idx, problem.pt_obs_idx, n, mm
-        )
+        pairs = getattr(problem, "pairs", None)
+        if pairs is not None:
+            sw = jnp.sqrt(winv).T.astype(mm)  # (3, M)
+            swg = sw[:, pt_idx]  # (3, K)
+            WQ27 = _planar27(ctx.WQ, mm)
+            C27 = jnp.stack([
+                WQ27[3 * i + c] * swg[c] for i in range(9) for c in range(3)
+            ])
+            S_sum, b_sum = _schur_gram_pairs(
+                C27, ctx.y0.T.astype(mm) * sw, pairs,
+                problem.cam_obs_idx, pt_idx, n, mm,
+            )
+        else:
+            S_sum, b_sum = _schur_gram_chunked(
+                ctx.WQ, winv, ctx.y0, problem.obs.cam_idx,
+                problem.pt_obs_idx, n, mm,
+            )
         S = -S_sum.astype(dtype)
         S4 = S.reshape(n, 9, n, 9)
         ar = jnp.arange(n)
@@ -537,9 +715,7 @@ def solve_damped(
     Linv = _point_factor_inv(ctx, lam, mode, dtype, acc_dtype=pf_dtype)
 
     if camera_solver == "chol":
-        S, b = _reduced_system_chol(
-            ctx, lam, cam_idx, pt_idx, problem.pt_obs_idx, n, m, Linv, mm
-        )
+        S, b = _reduced_system_chol(ctx, lam, problem, n, m, Linv, mm)
         dxc = _camera_solve_chol(S, b).reshape(n, 9)
     else:
         dxc = camera_solve_qr(ctx, lam, problem, Linv, mm_dtype=mm).reshape(n, 9)

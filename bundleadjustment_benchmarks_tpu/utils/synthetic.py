@@ -24,6 +24,7 @@ def make_synthetic_problem(
     seed: int = 0,
     noise: float = 5e-3,
     dtype=jnp.float64,
+    inlier_threshold: float = 0.5,
 ) -> BAProblem:
     rng = np.random.default_rng(seed)
     omega = rng.normal(scale=0.1, size=(n_cameras, 3))
@@ -77,4 +78,11 @@ def make_synthetic_problem(
         k2=k2,
         points=points + rng.normal(scale=1e-3, size=points.shape),
     )
-    return from_bal_dataset(ds, dtype=dtype)
+    # NOTE on inlier_threshold: the default tau = 0.5 px sits right at the
+    # reprojection error the 1e-3 point perturbation induces (~f*1e-3/z),
+    # so many observations START truncated and the energy landscape is a
+    # ladder of flat plateaus tau^2/4 apart — which plateau LM lands on is
+    # chaotic in rounding noise. Convergence-asserting tests should pass a
+    # larger threshold (e.g. 2.0) for a smooth, deterministic basin;
+    # parity/unit tests keep the rugged default on purpose.
+    return from_bal_dataset(ds, dtype=dtype, inlier_threshold=inlier_threshold)

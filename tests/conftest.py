@@ -39,7 +39,10 @@ def problem21():
     return load_bal_problem(PROBLEM21)
 
 
-def make_synthetic_problem(n_cameras=4, n_points=12, obs_per_point=3, seed=0, noise=5e-3):
+def make_synthetic_problem(
+    n_cameras=4, n_points=12, obs_per_point=3, seed=0, noise=5e-3,
+    inlier_threshold=0.5,
+):
     """Small random BA problem with BAL-like conventions for unit tests."""
     from bundleadjustment_benchmarks_tpu.utils.synthetic import (
         make_synthetic_problem as _make,
@@ -51,6 +54,7 @@ def make_synthetic_problem(n_cameras=4, n_points=12, obs_per_point=3, seed=0, no
         obs_per_point=obs_per_point,
         seed=seed,
         noise=noise,
+        inlier_threshold=inlier_threshold,
     )
 
 

@@ -75,21 +75,30 @@ def test_apply_step_fast_matches(synth):
     np.testing.assert_allclose(np.asarray(sft.R), np.asarray(s64.R), rtol=1e-14)
 
 
+@pytest.fixture(scope="module")
+def synth_smooth():
+    # inlier_threshold=2.0: no observation starts truncated, so the basin is
+    # smooth and every drive converges deterministically to the noise floor
+    # (the default tau=0.5 landscape is a ladder of truncation plateaus and
+    # which rung LM lands on is chaotic in rounding noise — wrong fixture
+    # for a convergence contract; see utils/synthetic.py).
+    return make_synthetic_problem(
+        n_cameras=5, n_points=40, obs_per_point=4, seed=11,
+        inlier_threshold=2.0,
+    )
+
+
 @pytest.mark.parametrize("mode", ["cholesky", "qrchol"])
-def test_df32_lm_converges(mode, synth):
+def test_df32_lm_converges(mode, synth_smooth):
+    synth = synth_smooth
     cfg64 = lm.LMConfig(drive="jit", max_iter=40)
     cfgdf = lm.LMConfig(drive="jit", max_iter=40, geometry="df32")
     res64 = lm.minimize(synth, mode=mode, config=cfg64)
     resdf = lm.minimize(synth, mode=mode, config=cfgdf)
-    # The synthetic problem has measurement noise, so LM plateaus at a
-    # nonzero energy. Stopping points legitimately differ between drives:
-    # f64 flatlines (Success) as soon as two successive energies agree to
-    # 1e-8, while df32's f32 evaluation noise keeps micro-accepting until the
-    # lambda-abort — often landing BELOW the f64 plateau. The contract is:
-    # df32 must never end WORSE than f64 (beyond f32 noise).
     e0 = float(projection.energy(synth.state, synth.obs, synth.tau2))
-    assert res64.energy < 0.2 * e0
-    assert resdf.energy <= res64.energy * (1.0 + 2e-2)
+    assert res64.energy < 1e-3 * e0
+    # df32 must reach the same noise-floor plateau as f64 (sub-percent).
+    assert resdf.energy <= res64.energy * 1.01
     assert resdf.status in (
         lm.LMStatus.Success,
         lm.LMStatus.ExceededLambdaMax,  # "Success (Exceeded Maximum Lambda)"

@@ -44,8 +44,14 @@ def test_mixed_solve_close_to_f64(mode):
 
 
 def test_mixed_lm_converges():
-    problem = make_synthetic_problem(n_cameras=4, n_points=20, obs_per_point=3, seed=7)
+    # inlier_threshold=2.0 -> smooth deterministic basin (the default
+    # tau=0.5 landscape is a chaotic ladder of truncation plateaus; see
+    # utils/synthetic.py) so a tight convergence contract is meaningful.
+    problem = make_synthetic_problem(
+        n_cameras=4, n_points=20, obs_per_point=3, seed=7,
+        inlier_threshold=2.0,
+    )
     e0 = float(projection.energy(problem.state, problem.obs, problem.tau2))
     cfg = lm.LMConfig(drive="jit", max_iter=15, matmul_dtype="float32")
     res = lm.minimize(problem, mode="cholesky", config=cfg)
-    assert res.energy < 0.5 * e0
+    assert res.energy < 1e-3 * e0

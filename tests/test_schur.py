@@ -57,6 +57,52 @@ def test_solve_damped_solves_the_system(mode, lam):
         np.testing.assert_allclose(np.asarray(dxc), dxc_ref, atol=1e-3 * scale)
 
 
+@pytest.mark.parametrize("weighted", [False, True])
+def test_pair_gram_matches_chunked(weighted):
+    """The observation-pair gram must equal the chunked dense gram exactly
+    (same products, different association only — f64 here, so ~exact)."""
+    import jax.numpy as jnp
+
+    problem = make_synthetic_problem(
+        n_cameras=6, n_points=40, obs_per_point=4, seed=7
+    )
+    assert problem.pairs is not None
+    k = problem.n_observations
+    m = problem.n_points
+    rng = np.random.default_rng(3)
+    C = jnp.asarray(rng.normal(size=(k, 9, 3)))
+    y = jnp.asarray(rng.normal(size=(m, 3)))
+    w = jnp.asarray(rng.uniform(0.1, 2.0, size=(m, 3))) if weighted else None
+
+    S_ref, b_ref = schur._schur_gram_chunked(
+        C, w, y, problem.obs.cam_idx, problem.pt_obs_idx,
+        problem.n_cameras, C.dtype,
+    )
+    S, b = schur._schur_gram(C, w, y, problem, problem.n_cameras, C.dtype)
+    np.testing.assert_allclose(
+        np.asarray(S), np.asarray(S_ref), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(b_ref), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_pair_gram_single_obs_points_fallback():
+    """Points seen once produce no pairs; gram must still be correct (and a
+    problem with NO pairs at all falls back to the chunked gram)."""
+    problem = make_synthetic_problem(
+        n_cameras=3, n_points=8, obs_per_point=1, seed=1
+    )
+    assert problem.pairs is None  # no multi-observation points
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, "cholesky")
+    dxp, dxc = schur.solve_damped(ctx, 0.5, problem, "cholesky")
+    assert np.all(np.isfinite(np.asarray(dxp)))
+    assert np.all(np.isfinite(np.asarray(dxc)))
+
+
 @pytest.mark.parametrize("mode", ["cholesky", "qrchol", "moreqr"])
 def test_initial_lambda(mode):
     problem = make_synthetic_problem(seed=2)
