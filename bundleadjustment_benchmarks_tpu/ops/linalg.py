@@ -97,6 +97,113 @@ def cho_solve3x3(L: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.einsum("...ji,...j->...i", Linv, y)
 
 
+def eigh3x3_sym(A: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Closed-form eigendecomposition of symmetric (..., 3, 3) blocks.
+
+    Returns (evals (..., 3) ascending, evecs (..., 3, 3)) with
+    A ~= evecs @ diag(evals) @ evecs^T — a drop-in for jnp.linalg.eigh on
+    batched 3x3 symmetric input. Needed because XLA's iterative eigh NaNs on
+    TPU for badly scaled f64 blocks (observed on problem-21 point grams:
+    945/11315 blocks came back NaN while CPU was clean), and closed form is
+    also the idiomatic TPU shape: pure elementwise VPU math, no batched
+    LAPACK-style iteration.
+
+    Method: trigonometric (Cardano) eigenvalues of the scale-normalized
+    deviator, then eigenvectors by the cross-product method with a
+    degeneracy-aware ordering (the eigenvalue with the larger gap is
+    extracted first, the middle vector completes the right-handed frame) —
+    the standard robust 3x3 recipe (cf. Eberly, "A Robust Eigensolver for
+    3x3 Symmetric Matrices"). All selects are elementwise ``where``s.
+    """
+    dt = A.dtype
+    eps = jnp.asarray(jnp.finfo(dt).eps, dt)
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12 = A[..., 1, 1], A[..., 1, 2]
+    a22 = A[..., 2, 2]
+
+    # Scale-normalize (entries of BA point grams span ~1e7): everything
+    # below runs on entries in [-1, 1].
+    s = jnp.stack([
+        jnp.abs(a00), jnp.abs(a01), jnp.abs(a02),
+        jnp.abs(a11), jnp.abs(a12), jnp.abs(a22),
+    ]).max(axis=0)
+    sinv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 1.0)
+    a00, a01, a02 = a00 * sinv, a01 * sinv, a02 * sinv
+    a11, a12, a22 = a11 * sinv, a12 * sinv, a22 * sinv
+
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (
+        b00 * b00 + b11 * b11 + b22 * b22
+        + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)
+    ) / 6.0
+    p = jnp.sqrt(p2)
+    psafe = jnp.where(p > 0, p, 1.0)
+    # det(B / p) / 2, clamped into acos's domain.
+    detb = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    )
+    r = jnp.clip(detb / (2.0 * psafe * psafe * psafe), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    two_pi_3 = jnp.asarray(2.0943951023931953, dt)
+    lam_hi = q + 2.0 * p * jnp.cos(phi)
+    lam_lo = q + 2.0 * p * jnp.cos(phi + two_pi_3)
+    lam_mid = 3.0 * q - lam_hi - lam_lo
+
+    def eigvec_of(lam):
+        # Rows of (A - lam I) span the eigenvector's orthogonal complement;
+        # the largest pairwise cross product is its most robust estimate.
+        r0 = jnp.stack([a00 - lam, a01, a02], axis=-1)
+        r1 = jnp.stack([a01, a11 - lam, a12], axis=-1)
+        r2 = jnp.stack([a02, a12, a22 - lam], axis=-1)
+        c01 = jnp.cross(r0, r1)
+        c02 = jnp.cross(r0, r2)
+        c12 = jnp.cross(r1, r2)
+        n01 = jnp.sum(c01 * c01, axis=-1)
+        n02 = jnp.sum(c02 * c02, axis=-1)
+        n12 = jnp.sum(c12 * c12, axis=-1)
+        best = jnp.where(
+            (n01 >= n02)[..., None] & (n01 >= n12)[..., None], c01,
+            jnp.where((n02 >= n12)[..., None], c02, c12),
+        )
+        nbest = jnp.maximum(n01, jnp.maximum(n02, n12))
+        # Fully degenerate (A ~ lam I in this row space): any unit vector.
+        ex = jnp.zeros_like(best).at[..., 0].set(1.0)
+        ok = (nbest > (eps * eps))[..., None]
+        v = jnp.where(ok, best, ex)
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    # Extract the better-isolated extreme eigenvalue first, complete the
+    # frame orthogonally — immune to a cluster at the other extreme.
+    gap_hi = lam_hi - lam_mid
+    gap_lo = lam_mid - lam_lo
+    hi_first = gap_hi >= gap_lo
+    lam_a = jnp.where(hi_first, lam_hi, lam_lo)
+    lam_b = jnp.where(hi_first, lam_lo, lam_hi)
+    v_a = eigvec_of(lam_a)
+    v_b0 = eigvec_of(lam_b)
+    # Orthogonalize v_b against v_a (guards clustered lam_b ~ lam_mid).
+    v_b0 = v_b0 - jnp.sum(v_b0 * v_a, axis=-1, keepdims=True) * v_a
+    nb = jnp.sum(v_b0 * v_b0, axis=-1, keepdims=True)
+    # Fallback: any unit vector orthogonal to v_a.
+    alt = jnp.cross(v_a, jnp.zeros_like(v_a).at[..., 0].set(1.0))
+    alt2 = jnp.cross(v_a, jnp.zeros_like(v_a).at[..., 1].set(1.0))
+    nalt = jnp.sum(alt * alt, axis=-1, keepdims=True)
+    alt = jnp.where(nalt > 0.1, alt, alt2)
+    v_b = jnp.where(nb > (eps * eps), v_b0, alt)
+    v_b = v_b / jnp.linalg.norm(v_b, axis=-1, keepdims=True)
+    v_m = jnp.cross(v_a, v_b)
+
+    # Undo the hi/lo swap and the scaling; order ascending (eigh parity).
+    v_hi = jnp.where(hi_first[..., None], v_a, v_b)
+    v_lo = jnp.where(hi_first[..., None], v_b, v_a)
+    evals = jnp.stack([lam_lo, lam_mid, lam_hi], axis=-1) * s[..., None]
+    evecs = jnp.stack([v_lo, v_m, v_hi], axis=-1)
+    return evals, evecs
+
+
 def mgs_qr3(A: jax.Array, eps: float = 0.0) -> tuple[jax.Array, jax.Array]:
     """Thin QR of (..., m, 3) blocks via modified Gram-Schmidt, unrolled.
 

@@ -470,11 +470,13 @@ def build_context(
             )
     elif point_factor == "eig":
         # More-style amortization: eigendecompose V once; damping trials only
-        # rescale by (d + lambda)^-1. eigh of batched 3x3 symmetric blocks,
-        # run in the accumulation dtype (tiny; f32 eigh of ill-conditioned V
-        # is unreliable), results cast back to the blocks' dtype.
+        # rescale by (d + lambda)^-1. Closed-form batched 3x3 eigh (pure
+        # elementwise — XLA's iterative eigh NaNs on TPU for badly scaled f64
+        # blocks; see linalg.eigh3x3_sym), run in the accumulation dtype
+        # (tiny; f32 eigh of ill-conditioned V is unreliable), results cast
+        # back to the blocks' dtype.
         acc = jnp.float64 if jax.config.jax_enable_x64 else V.dtype
-        evals_raw, evecs64 = jnp.linalg.eigh(V.astype(acc))
+        evals_raw, evecs64 = linalg.eigh3x3_sym(V.astype(acc))
         evals = jnp.maximum(evals_raw, 0.0).astype(V.dtype)
         evecs = evecs64.astype(V.dtype)
         WQ = jnp.einsum(

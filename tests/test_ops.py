@@ -199,3 +199,62 @@ class TestLinalg:
         R = linalg.tsqr(A, chunk=128)
         # R^T R == A^T A up to roundoff; signs may differ from direct QR.
         np.testing.assert_allclose(R.T @ R, A.T @ A, rtol=1e-10, atol=1e-10)
+
+    def test_eigh3x3_sym(self):
+        """Closed-form batched 3x3 eigh vs numpy on adversarial blocks."""
+        rng = np.random.default_rng(11)
+        G = rng.normal(size=(64, 3, 3))
+        rand_sym = G @ np.swapaxes(G, -1, -2)
+        v = rng.normal(size=(8, 3))
+        rank1 = np.einsum("ni,nj->nij", v, v)
+        cases = np.concatenate([
+            rand_sym,
+            rank1,
+            rand_sym * 5e7,  # BA point-gram scale (NaN'd XLA eigh on TPU)
+            np.zeros((2, 3, 3)),
+            np.broadcast_to(np.eye(3) * 3.7, (2, 3, 3)),
+            np.stack([np.diag([1.0, 1.0, 0.0]), np.diag([2.0, 1e-14, 0.0])]),
+        ])
+        evals, evecs = linalg.eigh3x3_sym(jnp.asarray(cases))
+        evals, evecs = np.asarray(evals), np.asarray(evecs)
+        scale = np.abs(cases).reshape(len(cases), -1).max(axis=1) + 1e-30
+        # Eigenvalues vs LAPACK (ascending).
+        ref = np.linalg.eigvalsh(cases)
+        np.testing.assert_allclose(
+            evals / scale[:, None], ref / scale[:, None], atol=1e-8
+        )
+        # Orthogonality and reconstruction.
+        qtq = np.einsum("nji,njk->nik", evecs, evecs)
+        np.testing.assert_allclose(
+            qtq, np.broadcast_to(np.eye(3), qtq.shape), atol=1e-10
+        )
+        recon = np.einsum("nij,nj,nkj->nik", evecs, evals, evecs)
+        np.testing.assert_allclose(
+            recon / scale[:, None, None],
+            cases / scale[:, None, None],
+            atol=1e-7,
+        )
+
+    def test_eigh3x3_sym_matches_on_point_grams(self):
+        """On real BA point grams (the moreqr context), Q f(E) Q^T must match
+        LAPACK's to solver precision — the quantity the eig mode consumes."""
+        import sys
+        sys.path.insert(0, "tests")
+        from conftest import make_synthetic_problem
+        from bundleadjustment_benchmarks_tpu.ops import jacobian
+        from bundleadjustment_benchmarks_tpu.solvers import schur
+
+        p = make_synthetic_problem(n_cameras=5, n_points=40, obs_per_point=4, seed=2)
+        blocks = jacobian.residuals_and_jacobian(p.state, p.obs, p.tau2)
+        V, _ = schur.segment_gram_and_vec(blocks.Jp, blocks.f, p.pt_obs_idx)
+        V = np.asarray(V)
+        evals, evecs = linalg.eigh3x3_sym(jnp.asarray(V))
+        evals = np.maximum(np.asarray(evals), 0.0)
+        evecs = np.asarray(evecs)
+        er, qr_ = np.linalg.eigh(V)
+        er = np.maximum(er, 0.0)
+        for lam in (1e-6, 1e-2, 10.0):
+            ours = np.einsum("nij,nj,nkj->nik", evecs, 1.0 / (evals + lam), evecs)
+            ref = np.einsum("nij,nj,nkj->nik", qr_, 1.0 / (er + lam), qr_)
+            denom = np.abs(ref).max() + 1e-30
+            np.testing.assert_allclose(ours / denom, ref / denom, atol=1e-9)
