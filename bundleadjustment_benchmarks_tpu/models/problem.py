@@ -125,6 +125,12 @@ class PairTables:
     row_b: jax.Array  # (R, l_row) int32, sentinel = n_observations
     key_table: jax.Array  # (KO, rmax) int32, sentinel = R
     key_to_obs: jax.Array  # (N*N,) int32, sentinel = KO
+    #: Point index per pair slot, sentinel = n_points (a zero weight row):
+    #: feeds the per-trial eigenvalue-weight gather of the cached pair gram
+    #: (schur._pair_S_cached). Built HERE (numpy, load time) because inside
+    #: the jitted LM loop XLA cannot hoist its recomputation out of the
+    #: outer while body — measured ~2 ms/iteration of pure waste.
+    row_pt: jax.Array  # (R, l_row) int32, sentinel = n_points
 
 
 def _pair_tables(
@@ -182,8 +188,10 @@ def _pair_tables(
 
     row_a = np.full((r, l_row), k, dtype=np.int32)
     row_b = np.full((r, l_row), k, dtype=np.int32)
+    row_pt = np.full((r, l_row), n_points, dtype=np.int32)
     row_a[row_id, slot] = a2.astype(np.int32)
     row_b[row_id, slot] = b2.astype(np.int32)
+    row_pt[row_id, slot] = pt_idx[a2].astype(np.int32)
 
     rmax = int(rows_per_key.max())
     key_table = np.full((ko, rmax), r, dtype=np.int32)
@@ -199,6 +207,7 @@ def _pair_tables(
         row_b=jnp.asarray(row_b),
         key_table=jnp.asarray(key_table),
         key_to_obs=jnp.asarray(key_to_obs),
+        row_pt=jnp.asarray(row_pt),
     )
 
 
@@ -223,6 +232,10 @@ class BAProblem:
     #: Optional pair tables for the observation-pair Schur gram (see
     #: PairTables); None falls back to the chunked dense gram.
     pairs: Optional[PairTables] = None
+    #: Point index per cam_obs_idx slot, sentinel = n_points. Load-time
+    #: companion of cam_obs_idx for the cached pair gram's per-trial weight
+    #: gathers (see PairTables.row_pt for why it is precomputed).
+    cam_obs_pt: Optional[jax.Array] = None  # (N, Lcam) int32
 
     @property
     def tau2(self) -> float:
@@ -326,6 +339,8 @@ def from_bal_dataset(
     )
     table, counts = _point_segment_table(pt_idx, ds.n_points, pad_to=None)
     cam_table = _index_table(cam_idx, n)
+    pt_ext = np.append(pt_idx, ds.n_points).astype(np.int32)
+    cam_pt = pt_ext[np.minimum(cam_table, pt_idx.shape[0])]
     return BAProblem(
         state=state,
         obs=obs,
@@ -335,6 +350,7 @@ def from_bal_dataset(
         inlier_threshold=float(inlier_threshold),
         avg_focal_length=float(avg_focal_length),
         pairs=_pair_tables(pt_idx, cam_idx, n),
+        cam_obs_pt=jnp.asarray(cam_pt),
     )
 
 

@@ -571,11 +571,17 @@ def minimize(
         return host_loop(state, prepare, trial, config)
 
     final = _minimize_jit(state, problem, mode, config)
+    # ONE device->host transfer for all result scalars: per-field int()/
+    # float() coercions each cost a full round trip (~25 ms through the
+    # remote-device tunnel — measured ~0.13 s of pure sync on problem-21).
+    status, it, fun_evals, energy, lam = jax.device_get(
+        (final.status, final.it, final.fun_evals, final.energy, final.lam)
+    )
     return LMResult(
         state=final.x,
-        status=LMStatus(int(final.status)),
-        iterations=int(final.it),
-        fun_evals=int(final.fun_evals),
-        energy=float(final.energy),
-        lam=float(final.lam),
+        status=LMStatus(int(status)),
+        iterations=int(it),
+        fun_evals=int(fun_evals),
+        energy=float(energy),
+        lam=float(lam),
     )

@@ -94,6 +94,16 @@ class SchurContext:
     WQ: Optional[jax.Array]  # (K, 9, 3) W_i Q_p — cached coupling, trials
     #                          only reweight rows by (D + lambda)^-1
     y0: Optional[jax.Array]  # (M, 3) Q^T g_pts
+    # Cached eig-weighted pair-gram stacks (camera_solver 'chol' + PairTables;
+    # see solve_damped): the lambda-independent GATHERS of WQ into the pair /
+    # camera tables, done once per outer iteration. Damping trials then only
+    # gather the 3 eigenvalue weights and run the contractions — the More
+    # 'factor once, re-damp cheap' trick applied to the Schur gram itself.
+    pairA: Optional[jax.Array] = None  # (27, R, Lrow) WQ at pair member a
+    pairB: Optional[jax.Array] = None  # (27, R, Lrow) WQ at pair member b
+    diagG: Optional[jax.Array] = None  # (27, N, Lcam) WQ at camera slots
+    row_pt: Optional[jax.Array] = None  # (R, Lrow) point of pair, sentinel M
+    cam_pt: Optional[jax.Array] = None  # (N, Lcam) point of slot, sentinel M
 
 
 def _scatter_z(Ct: jax.Array, cam_idx, pt_idx, n_cameras: int, n_points: int):
@@ -189,6 +199,44 @@ def segment_gram_and_vec(blk, f, table, slot_chunk: int = 1024):
     init = (jnp.zeros((s, d, d), acc), jnp.zeros((s, d), acc))
     (G, v), _ = jax.lax.scan(body, init, table_c)
     return G, v
+
+
+def planar_segment_gram(P, table, budget_bytes: int = 128 << 20):
+    """Per-segment gram of PLANAR row blocks: one gather + one contraction.
+
+    ``P`` is (R, C, K) — R block-rows of C components each, K on the lane
+    axis (the planar layout; see projection.planar_camera_pack). For segment
+    s, M[s][c][d] = sum_l sum_r P[r, c, table[s, l]] * P[r, d, table[s, l]].
+    Appending the residual row as an extra component makes M carry the
+    gradient for free (column [., d] against the residual component).
+
+    Replaces the blocky gather-stack (segment_gram_and_vec): gathering
+    (K, R, C) block tensors costs a strided relayout per slice and pays the
+    (8, 128) tile tax on tiny trailing dims — measured 3x slower than this
+    planar form at problem-21 scale. Large L is chunked.
+    """
+    r, c, k = P.shape
+    s, l = table.shape
+    acc = jnp.float32 if P.dtype == jnp.bfloat16 else jnp.dtype(P.dtype)
+    P_ext = jnp.concatenate([P, jnp.zeros((r, c, 1), P.dtype)], axis=2)
+    slot_chunk = max(64, budget_bytes // max(r * c * s * P.dtype.itemsize, 1))
+
+    def seg(tbl):
+        G = P_ext[:, :, tbl]  # (R, C, S, l)
+        return jnp.einsum("rcsl,rdsl->scd", G, G, preferred_element_type=acc)
+
+    if l <= slot_chunk:
+        return seg(table)
+    nch = -(-l // slot_chunk)
+    pad = nch * slot_chunk - l
+    tbl = jnp.pad(table, ((0, 0), (0, pad)), constant_values=k)
+    tbl = jnp.moveaxis(tbl.reshape(s, nch, slot_chunk), 1, 0)
+
+    def body(a, t):
+        return a + seg(t), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((s, c, c), acc), tbl)
+    return out
 
 
 def _gram_chunk_size(n_cameras: int, n_points: int, budget_bytes: int = 256 << 20):
@@ -314,6 +362,41 @@ def planar_table_sum(P, table, budget_bytes: int = 64 << 20):
 _SYM45 = [(i, j) for i in range(9) for j in range(i, 9)]
 
 
+def _diag_gram_dot(C27, yg, cam_obs_idx, acc, budget_bytes: int = 64 << 20):
+    """Per-camera diagonal grams + rhs as ONE batched contraction.
+
+    Augment the 27 coupling components with the 3 gathered rhs rows, gather
+    the (30, N, Lcam) per-camera stacks, and contract (c, l) per camera:
+    M10[n, i, j] = sum_{c,l} G[i, c, n, l] G[j, c, n, l]. The [i<9, j<9]
+    block is the diagonal gram, column [:, :9, 9] is Z^T y's camera part.
+    One dot_general instead of 54 planar products — at problem-21 scale the
+    per-kernel launch overhead of the product list dominated the gram.
+    Lcam is chunked to keep the gathered stack under ``budget_bytes``.
+    """
+    k = C27.shape[1]
+    CY = jnp.concatenate([C27, yg], axis=0)  # (30, K)
+    CY_ext = jnp.concatenate([CY, jnp.zeros((30, 1), CY.dtype)], axis=1)
+    n, lcam = cam_obs_idx.shape
+
+    def seg(tbl):
+        G = CY_ext[:, tbl].reshape(10, 3, n, tbl.shape[1])
+        return jnp.einsum("icnl,jcnl->nij", G, G, preferred_element_type=acc)
+
+    slot_chunk = max(64, budget_bytes // max(30 * n * CY.dtype.itemsize, 1))
+    if lcam <= slot_chunk:
+        return seg(cam_obs_idx)
+    nch = -(-lcam // slot_chunk)
+    pad = nch * slot_chunk - lcam
+    tbl = jnp.pad(cam_obs_idx, ((0, 0), (0, pad)), constant_values=k)
+    tbl = jnp.moveaxis(tbl.reshape(n, nch, slot_chunk), 1, 0)
+
+    def body(a, t):
+        return a + seg(t), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((n, 10, 10), acc), tbl)
+    return out
+
+
 def _schur_gram_pairs(C27, ysT, pairs, cam_obs_idx, pt_idx, n_cameras: int, mm):
     """S_sum = Z^T Z and b_sum = Z^T y via observation pairs (scatter-free).
 
@@ -321,18 +404,21 @@ def _schur_gram_pairs(C27, ysT, pairs, cam_obs_idx, pt_idx, n_cameras: int, mm):
     block (ca, cb) of Z^T Z only couples cameras that co-observe a point and
     equals a sum of C_i C_j^T over same-point observation pairs — sum_p L_p^2
     tiny products instead of the dense (3M, 9N)^T (3M, 9N) matmul (~1000x
-    fewer FLOPs at problem-257 scale). Everything runs PLANAR — (component,
-    K) arrays, full-lane element-wise VPU work — because gathered (K, 9, 3)
-    block tensors waste ~97% of each (8, 128) tile and their slices each cost
-    a strided relayout (measured: the blocky formulation of this very gram
-    was SLOWER than the dense-chunk one it replaces).
+    fewer FLOPs at problem-257 scale). Gathers run PLANAR — (component, K)
+    arrays, full-lane rows — because gathered (K, 9, 3) block tensors waste
+    ~97% of each (8, 128) tile and their slices each cost a strided relayout
+    (measured: the blocky formulation of this very gram was SLOWER than the
+    dense-chunk one it replaces); the products themselves are batched
+    dot_generals, not per-component product lists (measured: ~130 tiny VPU
+    kernels' launch overhead dominated the gram at problem-21 scale).
 
-      * diagonal blocks: 45 symmetric products + 9 rhs products per
-        observation, one planar gather-sum over the camera table;
+      * diagonal blocks + rhs: one per-camera contraction over the gathered
+        camera table (_diag_gram_dot);
       * strictly-upper pairs: gather pair members by the key-pure row tables,
-        81 products + row sums, per-key sums via the key table, then ONE
-        dense gather places every block at its (ca, cb) grid cell; the lower
-        triangle is the block-transpose, the diagonal an eye-masked add.
+        one (c, l)-contraction per row, per-key sums via the key table, then
+        ONE dense gather places every block at its (ca, cb) grid cell; the
+        lower triangle is the block-transpose, the diagonal an eye-masked
+        add.
 
     Args:
       C27: (27, K) planar coupling components, C27[3i+c] = C[k][i][c], with
@@ -345,41 +431,21 @@ def _schur_gram_pairs(C27, ysT, pairs, cam_obs_idx, pt_idx, n_cameras: int, mm):
     C27 = C27.astype(mm)
     yg = ysT.astype(mm)[:, pt_idx]  # (3, K)
 
-    # ---- diagonal blocks + rhs: per-observation products, camera table sum.
-    prods = [
-        C27[3 * i] * C27[3 * j]
-        + C27[3 * i + 1] * C27[3 * j + 1]
-        + C27[3 * i + 2] * C27[3 * j + 2]
-        for (i, j) in _SYM45
-    ] + [
-        C27[3 * i] * yg[0] + C27[3 * i + 1] * yg[1] + C27[3 * i + 2] * yg[2]
-        for i in range(9)
-    ]
-    P = jnp.stack(prods).astype(acc)  # (54, K)
-    sums = planar_table_sum(P, cam_obs_idx)  # (54, N)
-    # Expand the 45 symmetric components to a full (81, N) diagonal block.
-    sym_full = [[None] * 9 for _ in range(9)]
-    for q, (i, j) in enumerate(_SYM45):
-        sym_full[i][j] = sums[q]
-        sym_full[j][i] = sums[q]
-    diag81 = jnp.stack([sym_full[i][j] for i in range(9) for j in range(9)])
-    b = sums[45:].T.reshape(-1)  # (9N,) camera-major
+    # ---- diagonal blocks + rhs: one batched per-camera contraction.
+    M10 = _diag_gram_dot(C27, yg, cam_obs_idx, acc)  # (N, 10, 10)
+    diag9 = jnp.transpose(M10[:, :9, :9], (1, 2, 0))  # (9, 9, N)
+    b = M10[:, :9, 9].reshape(-1)  # (9N,) camera-major
 
-    # ---- strictly-upper pairs.
+    # ---- strictly-upper pairs: gather members, ONE batched contraction
+    # O[i, j, r] = sum_{c, l} A[i, c, r, l] B[j, c, r, l], then key sums and
+    # a dense grid gather (placement stays scatter-free).
     r, l_row = pairs.row_a.shape
     C_ext = jnp.concatenate([C27, jnp.zeros((27, 1), mm)], axis=1)
-    A = C_ext[:, pairs.row_a.reshape(-1)].reshape(27, r, l_row)
-    B = C_ext[:, pairs.row_b.reshape(-1)].reshape(27, r, l_row)
-    out81 = [
-        (
-            A[3 * i] * B[3 * j]
-            + A[3 * i + 1] * B[3 * j + 1]
-            + A[3 * i + 2] * B[3 * j + 2]
-        ).sum(axis=1, dtype=acc)
-        for i in range(9)
-        for j in range(9)
-    ]
-    O = jnp.stack(out81)  # (81, R)
+    A = C_ext[:, pairs.row_a].reshape(9, 3, r, l_row)
+    B = C_ext[:, pairs.row_b].reshape(9, 3, r, l_row)
+    O = jnp.einsum(
+        "icrl,jcrl->ijr", A, B, preferred_element_type=acc
+    ).reshape(81, r)
     O_ext = jnp.concatenate([O, jnp.zeros((81, 1), acc)], axis=1)
     ko, rmax = pairs.key_table.shape
     key_sums = O_ext[:, pairs.key_table].sum(axis=2)  # (81, KO)
@@ -388,9 +454,70 @@ def _schur_gram_pairs(C27, ysT, pairs, cam_obs_idx, pt_idx, n_cameras: int, mm):
 
     full4 = up4 + jnp.transpose(up4, (1, 0, 3, 2))
     eye = jnp.eye(n, dtype=acc)
-    full4 = full4 + diag81.reshape(9, 9, n)[..., None] * eye
+    full4 = full4 + diag9[..., None] * eye
     S = jnp.transpose(full4, (2, 0, 3, 1)).reshape(9 * n, 9 * n)
     return S, b.astype(acc)
+
+
+def _pair_S_cached(ctx, lam, problem, n: int, mm):
+    """Reduced camera system from the CACHED pair-gram stacks (per trial).
+
+    S(lam) = blkdiag(U + lam I) - sum_pairs WQ_a diag(w) WQ_b^T with
+    w = 1/(evals + lam) — exactly the whitened W (V + lam I)^-1 W^T Schur
+    gram, but with every lambda-independent gather hoisted into
+    build_context (ctx.pairA/pairB/diagG). A damping trial costs: gather the
+    3 weight rows into the pair/camera tables, two weighted contractions,
+    key sums, and the dense grid gather. Sentinel slots gather weight 0, so
+    padding contributes nothing.
+    """
+    dtype = ctx.U.dtype
+    acc = jnp.float32 if jnp.dtype(mm) == jnp.bfloat16 else jnp.dtype(mm)
+    winv = 1.0 / (ctx.evals + lam.astype(ctx.evals.dtype))  # (M, 3)
+    w_ext = jnp.concatenate(
+        [winv.T.astype(mm), jnp.zeros((3, 1), mm)], axis=1
+    )
+    py = (winv * ctx.y0).T.astype(mm)  # (3, M)
+    py_ext = jnp.concatenate([py, jnp.zeros((3, 1), mm)], axis=1)
+
+    # Strictly-upper pairs.
+    r, l_row = ctx.row_pt.shape
+    wpair = w_ext[:, ctx.row_pt]  # (3, R, Lrow)
+    A9 = ctx.pairA.reshape(9, 3, r, l_row)
+    B9 = ctx.pairB.reshape(9, 3, r, l_row)
+    O = jnp.einsum(
+        "icrl,jcrl->ijr", A9 * wpair, B9, preferred_element_type=acc
+    ).reshape(81, r)
+
+    # Diagonal blocks + rhs.
+    ncam, lcam = ctx.cam_pt.shape
+    wdiag = w_ext[:, ctx.cam_pt]  # (3, N, Lcam)
+    pyg = py_ext[:, ctx.cam_pt]
+    G9 = ctx.diagG.reshape(9, 3, ncam, lcam)
+    Mdiag = jnp.einsum(
+        "icnl,jcnl->nij", G9 * wdiag, G9, preferred_element_type=acc
+    )  # (N, 9, 9)
+    b_sum = jnp.einsum(
+        "icnl,cnl->ni", G9, pyg, preferred_element_type=acc
+    )  # (N, 9)
+
+    # Assemble (same scatter-free placement as _schur_gram_pairs).
+    pairs = problem.pairs
+    O_ext = jnp.concatenate([O, jnp.zeros((81, 1), acc)], axis=1)
+    key_sums = O_ext[:, pairs.key_table].sum(axis=2)  # (81, KO)
+    key_ext = jnp.concatenate([key_sums, jnp.zeros((81, 1), acc)], axis=1)
+    up4 = key_ext[:, pairs.key_to_obs].reshape(9, 9, n, n)
+    full4 = up4 + jnp.transpose(up4, (1, 0, 3, 2))
+    eye = jnp.eye(n, dtype=acc)
+    full4 = full4 + jnp.transpose(Mdiag, (1, 2, 0))[..., None] * eye
+    S_sum = jnp.transpose(full4, (2, 0, 3, 1)).reshape(9 * n, 9 * n)
+
+    S = -S_sum.astype(dtype)
+    S4 = S.reshape(n, 9, n, 9)
+    ar = jnp.arange(n)
+    S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
+    S = S4.reshape(9 * n, 9 * n)
+    b = ctx.g_cams.reshape(-1) - b_sum.reshape(-1).astype(dtype)
+    return S, b
 
 
 def _planar27(x, mm):
@@ -438,10 +565,23 @@ def build_context(
     n, m = problem.n_cameras, problem.n_points
     Jc, Jp, f = blocks.Jc, blocks.Jp, blocks.f
 
-    # Per-segment grams + gradients via gather-stack + batched MXU dots (no
-    # (K, 9, 9) intermediate, no gather segment-sum over 81-float blocks).
-    U, gc = segment_gram_and_vec(Jc, f, problem.cam_obs_idx)
-    V, gp = segment_gram_and_vec(Jp, f, problem.pt_obs_idx)
+    # Per-segment grams + gradients in PLANAR form: transpose the block
+    # tensors to (rows, comps, K) once, append the residual row as a 10th/4th
+    # component, and each table gram is ONE gather + ONE contraction whose
+    # [., :, last] column is the gradient (see planar_segment_gram — the
+    # blocky gather-stacks dominated prepare at problem-21 scale).
+    k_obs = Jc.shape[0]
+    Jc_pl = Jc.reshape(k_obs, 18).T.reshape(2, 9, k_obs)
+    Jp_pl = Jp.reshape(k_obs, 6).T.reshape(2, 3, k_obs)
+    f_pl = f.T.reshape(2, 1, k_obs)
+    M10 = planar_segment_gram(
+        jnp.concatenate([Jc_pl, f_pl], axis=1), problem.cam_obs_idx
+    )
+    M4 = planar_segment_gram(
+        jnp.concatenate([Jp_pl, f_pl], axis=1), problem.pt_obs_idx
+    )
+    U, gc = M10[:, :9, :9], M10[:, :9, 9]
+    V, gp = M4[:, :3, :3], M4[:, :3, 3]
     g_cams = -gc
     g_pts = -gp
     W = jnp.einsum("kri,krj->kij", Jc, Jp)  # (K, 9, 3)
@@ -468,21 +608,56 @@ def build_context(
             rhs_stacked = (
                 (-f_ext[problem.pt_obs_idx]).reshape(m, 2 * lmax).astype(mm)
             )
-    elif point_factor == "eig":
+    pairs = getattr(problem, "pairs", None)
+    if pairs is not None and getattr(problem, "cam_obs_pt", None) is None:
+        pairs = None  # duck-typed views without the weight tables
+    pairA = pairB = diagG = row_pt = cam_pt = None
+    want_eig = point_factor == "eig" or (
+        camera_solver == "chol" and pairs is not None
+    )
+    if want_eig:
         # More-style amortization: eigendecompose V once; damping trials only
         # rescale by (d + lambda)^-1. Closed-form batched 3x3 eigh (pure
         # elementwise — XLA's iterative eigh NaNs on TPU for badly scaled f64
         # blocks; see linalg.eigh3x3_sym), run in the accumulation dtype
         # (tiny; f32 eigh of ill-conditioned V is unreliable), results cast
-        # back to the blocks' dtype.
+        # back to the blocks' dtype. Used by the 'eig' point factor AND by
+        # the cached pair-gram (all chol-camera modes): the weighted gram
+        # sum_i WQ_i (E + lambda)^-1 WQ_i^T equals the whitened
+        # W (V + lambda)^-1 W^T exactly, with a lambda-independent WQ.
         acc = jnp.float64 if jax.config.jax_enable_x64 else V.dtype
         evals_raw, evecs64 = linalg.eigh3x3_sym(V.astype(acc))
         evals = jnp.maximum(evals_raw, 0.0).astype(V.dtype)
         evecs = evecs64.astype(V.dtype)
+        y0 = jnp.einsum("mji,mj->mi", evecs, g_pts)  # Q^T g per point
+
+    if camera_solver == "chol" and pairs is not None:
+        # Cached pair-gram stacks: gather planar WQ into the pair / camera
+        # tables ONCE per outer iteration (these gathers dominated the
+        # per-trial gram); trials only gather the 3 weight rows.
+        W27 = W.reshape(k_obs, 27).T  # comp 3i+j = W[k][i][j]
+        Qg = evecs.reshape(m, 9).T[:, pt_idx]  # (9, K): comp 3j+c
+        WQ27 = jnp.stack([
+            W27[3 * i] * Qg[c]
+            + W27[3 * i + 1] * Qg[3 + c]
+            + W27[3 * i + 2] * Qg[6 + c]
+            for i in range(9)
+            for c in range(3)
+        ]).astype(mm)
+        WQ_ext = jnp.concatenate([WQ27, jnp.zeros((27, 1), mm)], axis=1)
+        pairA = WQ_ext[:, pairs.row_a]  # (27, R, Lrow)
+        pairB = WQ_ext[:, pairs.row_b]
+        diagG = WQ_ext[:, problem.cam_obs_idx]  # (27, N, Lcam)
+        # Static point-index companions, precomputed at load time (XLA does
+        # not hoist their recomputation out of the outer LM while body).
+        row_pt = pairs.row_pt
+        cam_pt = problem.cam_obs_pt
+    elif point_factor == "eig":
+        # Fallback eig coupling for problems without PairTables (e.g. the
+        # sharded local views): blocky WQ feeds the chunked weighted gram.
         WQ = jnp.einsum(
             "kij,kjl->kil", W, evecs[pt_idx]
         ).astype(mm)  # (K, 9, 3)
-        y0 = jnp.einsum("mji,mj->mi", evecs, g_pts)  # Q^T g per point
 
     return SchurContext(
         U=U,
@@ -498,6 +673,11 @@ def build_context(
         evals=evals,
         WQ=WQ,
         y0=y0,
+        pairA=pairA,
+        pairB=pairB,
+        diagG=diagG,
+        row_pt=row_pt,
+        cam_pt=cam_pt,
     )
 
 
@@ -560,35 +740,14 @@ def _reduced_system_chol(ctx, lam, problem, n, m, Linv, mm):
     dtype = ctx.U.dtype
     pt_idx = problem.obs.pt_idx
     y = jnp.einsum("mij,mj->mi", Linv, ctx.g_pts)  # L^-1 g_p
-    pairs = getattr(problem, "pairs", None)
-    if pairs is not None:
-        # Planar path: C_i = W_i L_p^-T built component-wise — one relayout
-        # of W, a 9-component gather of Linv, 27 fused FMAs; no (K, 9, 3)
-        # intermediates (see _schur_gram_pairs for why that matters).
-        # The FMAs run in the ACCURATE dtype (matching the chunked path,
-        # which forms C in ``dtype`` and only casts the gram operands): a
-        # point-whitening product formed in f32 measurably degrades mixed-
-        # precision LM steps. Element-wise f64 is cheap on TPU — only
-        # dot_general/reduce f64 HLOs are catastrophic — and the df32 drive
-        # has dtype == f32 anyway, so its planar chain stays pure-f32.
-        W27 = _planar27(ctx.W, dtype)  # (27, K), comp 3i+j = W[k][i][j]
-        Lg = Linv.reshape(m, 9).T.astype(dtype)[:, pt_idx]  # (9,K): 3c+j
-        C27 = jnp.stack([
-            W27[3 * i] * Lg[3 * c]
-            + W27[3 * i + 1] * Lg[3 * c + 1]
-            + W27[3 * i + 2] * Lg[3 * c + 2]
-            for i in range(9)
-            for c in range(3)
-        ]).astype(mm)
-        S_sum, b_sum = _schur_gram_pairs(
-            C27, y.T, pairs, problem.cam_obs_idx, pt_idx, n, mm
-        )
-    else:
-        # C_i = W_i L_p^-T  (point-whitened coupling).
-        C = jnp.einsum("kij,kcj->kic", ctx.W, Linv[pt_idx])  # (K, 9, 3)
-        S_sum, b_sum = _schur_gram_chunked(
-            C, None, y, problem.obs.cam_idx, problem.pt_obs_idx, n, mm
-        )
+    # C_i = W_i L_p^-T  (point-whitened coupling). Problems WITH PairTables
+    # never reach here — solve_damped routes them to the cached pair gram
+    # (_pair_S_cached); this chunked build serves no-pairs problems and the
+    # sharded local views.
+    C = jnp.einsum("kij,kcj->kic", ctx.W, Linv[pt_idx])  # (K, 9, 3)
+    S_sum, b_sum = _schur_gram_chunked(
+        C, None, y, problem.obs.cam_idx, problem.pt_obs_idx, n, mm
+    )
     S = -S_sum.astype(dtype)
     S4 = S.reshape(n, 9, n, 9)
     ar = jnp.arange(n)
@@ -679,25 +838,33 @@ def solve_damped(
     lam = jnp.asarray(lam, dtype)
     point_factor, camera_solver = MODE_STRATEGY[mode]
 
-    if point_factor == "eig":
-        winv = 1.0 / (ctx.evals + lam)  # (M, 3)
-        pairs = getattr(problem, "pairs", None)
-        if pairs is not None:
-            sw = jnp.sqrt(winv).T.astype(mm)  # (3, M)
-            swg = sw[:, pt_idx]  # (3, K)
-            WQ27 = _planar27(ctx.WQ, mm)
-            C27 = jnp.stack([
-                WQ27[3 * i + c] * swg[c] for i in range(9) for c in range(3)
-            ])
-            S_sum, b_sum = _schur_gram_pairs(
-                C27, ctx.y0.T.astype(mm) * sw, pairs,
-                problem.cam_obs_idx, pt_idx, n, mm,
+    if camera_solver == "chol" and ctx.pairA is not None:
+        # Cached pair-gram path (see build_context): per trial only the 3
+        # eigenvalue-weight rows are gathered; the WQ stacks are reused.
+        S, b = _pair_S_cached(ctx, lam, problem, n, mm)
+        dxc = _camera_solve_chol(S, b).reshape(n, 9)
+        t = ctx.g_pts - table_segment_sum(
+            jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), problem.pt_obs_idx
+        )
+        if point_factor == "eig":
+            # Back-substitution in the eigenbasis.
+            winv = 1.0 / (ctx.evals + lam)
+            dxp = jnp.einsum(
+                "mij,mj->mi", ctx.evecs,
+                winv * jnp.einsum("mji,mj->mi", ctx.evecs, t),
             )
         else:
-            S_sum, b_sum = _schur_gram_chunked(
-                ctx.WQ, winv, ctx.y0, problem.obs.cam_idx,
-                problem.pt_obs_idx, n, mm,
-            )
+            Linv = _point_factor_inv(ctx, lam, mode, dtype, acc_dtype=pf_dtype)
+            y = jnp.einsum("mij,mj->mi", Linv, t)
+            dxp = jnp.einsum("mji,mj->mi", Linv, y)
+        return dxp, dxc
+
+    if point_factor == "eig":
+        winv = 1.0 / (ctx.evals + lam)  # (M, 3)
+        S_sum, b_sum = _schur_gram_chunked(
+            ctx.WQ, winv, ctx.y0, problem.obs.cam_idx,
+            problem.pt_obs_idx, n, mm,
+        )
         S = -S_sum.astype(dtype)
         S4 = S.reshape(n, 9, n, 9)
         ar = jnp.arange(n)
