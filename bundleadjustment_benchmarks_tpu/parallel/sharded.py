@@ -83,6 +83,13 @@ class ShardedProblem:
     obs_per_shard: int = dataclasses.field(metadata=dict(static=True))
     points_per_shard: int = dataclasses.field(metadata=dict(static=True))
     n_points_global: int = dataclasses.field(metadata=dict(static=True))
+    #: Per-shard observation-pair tables (PairTables leaves stacked along
+    #: dim 0 and mesh-sharded; indices are shard-LOCAL, keys are global
+    #: camera pairs) — pairs of a point live on its own shard because
+    #: observations are point-sorted and shards are point-contiguous. None
+    #: falls back to the chunked gram.
+    pairs: Optional[problem_mod.PairTables] = None
+    cam_obs_pt: Optional[jax.Array] = None  # (D*N, Lcam) local pt, sent. Mp
 
     @property
     def tau2(self) -> float:
@@ -151,8 +158,59 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
         cam_tables.append(np.where(t == nloc, ks, t))
     lcam = max(max(t.shape[1] for t in cam_tables), 1)
     cam_table_sh = np.full((d, n_cams, lcam), ks, np.int32)
+    cam_pt_sh = np.full((d, n_cams, lcam), ms, np.int32)
     for s_i, t in enumerate(cam_tables):
         cam_table_sh[s_i, :, : t.shape[1]] = t
+        valid = t != ks
+        lo = obs_starts[s_i]
+        nloc = obs_ends[s_i] - lo
+        pt_loc = pt_idx[lo : lo + nloc] - pt_starts[s_i]
+        cam_pt_sh[s_i, :, : t.shape[1]][valid] = pt_loc[t[valid]]
+
+    # Per-shard observation-pair tables (local indices, global camera keys),
+    # padded to common shapes across shards; sentinels remapped to the
+    # padded sizes (rows -> ks, points -> ms, key rows -> Rmax, keys -> KOmax).
+    local_tables = []
+    for s_i in range(d):
+        lo, hi = obs_starts[s_i], obs_ends[s_i]
+        nloc = hi - lo
+        pt_loc = (pt_idx[lo:hi] - pt_starts[s_i]).astype(np.int64)
+        tab = (
+            problem_mod._pair_tables(pt_loc, cam_idx[lo:hi], n_cams)
+            if nloc >= 2
+            else None
+        )
+        local_tables.append((tab, nloc, int(pt_loc.max()) + 1 if nloc else 0))
+    pairs_sh = None
+    if any(t is not None for t, _, _ in local_tables):
+        rmx = max((np.asarray(t.row_a).shape[0] for t, _, _ in local_tables
+                   if t is not None), default=1)
+        l_row = next(np.asarray(t.row_a).shape[1] for t, _, _ in local_tables
+                     if t is not None)
+        komx = max((np.asarray(t.key_table).shape[0] for t, _, _ in local_tables
+                    if t is not None), default=1)
+        ktw = max((np.asarray(t.key_table).shape[1] for t, _, _ in local_tables
+                   if t is not None), default=1)
+        ra = np.full((d, rmx, l_row), ks, np.int32)
+        rb = np.full((d, rmx, l_row), ks, np.int32)
+        rp = np.full((d, rmx, l_row), ms, np.int32)
+        kt = np.full((d, komx, ktw), rmx, np.int32)
+        k2o = np.full((d, n_cams * n_cams), komx, np.int32)
+        for s_i, (t, nloc, npl) in enumerate(local_tables):
+            if t is None:
+                continue
+            a = np.asarray(t.row_a)
+            b = np.asarray(t.row_b)
+            p = np.asarray(t.row_pt)
+            ktab = np.asarray(t.key_table)
+            r_s, ko_s = a.shape[0], ktab.shape[0]
+            ra[s_i, :r_s] = np.where(a == nloc, ks, a)
+            rb[s_i, :r_s] = np.where(b == nloc, ks, b)
+            rp[s_i, :r_s] = np.where(p == npl, ms, p)
+            kt[s_i, :ko_s, : ktab.shape[1]] = np.where(ktab == r_s, rmx, ktab)
+            ko = np.asarray(t.key_to_obs)
+            k2o[s_i] = np.where(ko == ko_s, komx, ko)
+        pairs_sh = (ra, rb, kt, k2o, rp)
 
     def put(x, spec):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
@@ -171,6 +229,16 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
         measurements=put(meas_sh.reshape(-1, 2), P(axis)),
         weights=put(w_sh.reshape(-1), P(axis)),
     )
+    pairs = None
+    if pairs_sh is not None:
+        ra, rb, kt, k2o, rp = pairs_sh
+        pairs = problem_mod.PairTables(
+            row_a=put(ra.reshape(d * ra.shape[1], -1), P(axis)),
+            row_b=put(rb.reshape(d * rb.shape[1], -1), P(axis)),
+            key_table=put(kt.reshape(d * kt.shape[1], -1), P(axis)),
+            key_to_obs=put(k2o.reshape(-1), P(axis)),
+            row_pt=put(rp.reshape(d * rp.shape[1], -1), P(axis)),
+        )
     return ShardedProblem(
         state=state,
         obs=obs,
@@ -182,6 +250,8 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
         obs_per_shard=ks,
         points_per_shard=ms,
         n_points_global=m,
+        pairs=pairs,
+        cam_obs_pt=put(cam_pt_sh.reshape(d * n_cams, lcam), P(axis)),
     )
 
 
@@ -194,6 +264,8 @@ class _LocalView:
     cam_obs_idx: jax.Array
     n_cameras: int
     n_points: int
+    pairs: Optional[problem_mod.PairTables] = None
+    cam_obs_pt: Optional[jax.Array] = None
 
 
 def _local_blocks(state_local, obs_local, tau2, compute_dtype=None):
@@ -231,23 +303,41 @@ def make_sharded_kernels(
         cam_idx=P(axis), pt_idx=P(axis), measurements=P(axis), weights=P(axis)
     )
 
-    def local_view(obs_local, table_local, cam_table_local):
+    use_pairs = camera_solver == "chol" and sp.pairs is not None
+    pairs_spec = (
+        problem_mod.PairTables(
+            row_a=P(axis), row_b=P(axis), key_table=P(axis),
+            key_to_obs=P(axis), row_pt=P(axis),
+        )
+        if use_pairs
+        else None
+    )
+
+    def local_view(obs_local, table_local, cam_table_local,
+                   pairs_local=None, cam_pt_local=None):
         return _LocalView(
             obs=obs_local,
             pt_obs_idx=table_local,
             cam_obs_idx=cam_table_local,
             n_cameras=n,
             n_points=ms,
+            pairs=pairs_local,
+            cam_obs_pt=cam_pt_local,
         )
 
     # ---- prepare: J blocks + context; U/g_cams all-reduced, rest local. ----
-    def prepare_body(state, obs_local, table_local, cam_table_local):
+    def prepare_body(state, obs_local, table_local, cam_table_local,
+                     pairs_local=None, cam_pt_local=None):
         state_local = state  # cameras replicated, points already local
         blocks = _local_blocks(state_local, obs_local, tau2, compute_dtype=mm)
         acc = projection.accumulation_dtype(blocks.f.dtype)
         energy = jax.lax.psum(jnp.sum(blocks.f * blocks.f, dtype=acc), axis)
         ctx = schur.build_context(
-            blocks, local_view(obs_local, table_local, cam_table_local), mode
+            blocks,
+            local_view(obs_local, table_local, cam_table_local,
+                       pairs_local, cam_pt_local),
+            mode,
+            mm_dtype=mm,
         )
         U = jax.lax.psum(ctx.U, axis)
         g_cams = jax.lax.psum(ctx.g_cams, axis)
@@ -261,6 +351,7 @@ def make_sharded_kernels(
         lam0 = schur.initial_lambda(ctx, mode).astype(energy.dtype)
         return ctx, energy, lam0
 
+    want_eig = point_factor == "eig" or use_pairs
     ctx_spec = schur.SchurContext(
         U=P(),
         V=P(axis),
@@ -271,28 +362,61 @@ def make_sharded_kernels(
         Jp_stacked=P(axis) if point_factor == "qr" else None,
         Jc_stacked=P(axis) if (point_factor, camera_solver) == ("qr", "qr") else None,
         rhs_stacked=P(axis) if (point_factor, camera_solver) == ("qr", "qr") else None,
-        evecs=P(axis) if point_factor == "eig" else None,
-        evals=P(axis) if point_factor == "eig" else None,
-        WQ=P(axis) if point_factor == "eig" else None,
-        y0=P(axis) if point_factor == "eig" else None,
+        evecs=P(axis) if want_eig else None,
+        evals=P(axis) if want_eig else None,
+        WQ=P(axis) if (point_factor == "eig" and not use_pairs) else None,
+        y0=P(axis) if want_eig else None,
+        pairA=P(None, axis) if use_pairs else None,
+        pairB=P(None, axis) if use_pairs else None,
+        diagG=P(None, axis) if use_pairs else None,
+        row_pt=P(axis) if use_pairs else None,
+        cam_pt=P(axis) if use_pairs else None,
     )
 
+    prepare_in = (state_spec, obs_spec, P(axis), P(axis))
+    if use_pairs:
+        prepare_in = prepare_in + (pairs_spec, P(axis))
     prepare_sm = shard_map(
         prepare_body,
         mesh=mesh,
-        in_specs=(state_spec, obs_spec, P(axis), P(axis)),
+        in_specs=prepare_in,
         out_specs=(ctx_spec, P(), P()),
         check_vma=False,
     )
 
     # ---- trial: local factors, psum'd reduced system, local back-sub. ----
-    def trial_body(ctx, state, lam, obs_local, table_local, cam_table_local):
+    def trial_body(ctx, state, lam, obs_local, table_local, cam_table_local,
+                   pairs_local=None):
         dtype = ctx.U.dtype
         lam = jnp.asarray(lam, dtype)
         view = local_view(obs_local, table_local, cam_table_local)
         cam_idx, pt_idx = obs_local.cam_idx, obs_local.pt_idx
 
-        if point_factor == "eig":
+        if use_pairs:
+            # Cached pair gram per shard; ONE psum forms the global reduced
+            # system (the distributed Schur reduction riding ICI), solved
+            # redundantly on every device.
+            S_sum, b_sum = schur._pair_gram_cached(
+                ctx, lam, pairs_local, n, mm or dtype
+            )
+            S_sum = jax.lax.psum(S_sum, axis)
+            b_sum = jax.lax.psum(b_sum, axis)
+            S, b = schur.assemble_reduced(S_sum, b_sum, ctx, lam, n)
+            dxc = schur._camera_solve_chol(S, b).reshape(n, 9)
+            t = ctx.g_pts - schur.table_segment_sum(
+                jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), table_local
+            )
+            if point_factor == "eig":
+                winv = 1.0 / (ctx.evals + lam)
+                dxp = jnp.einsum(
+                    "mij,mj->mi", ctx.evecs,
+                    winv * jnp.einsum("mji,mj->mi", ctx.evecs, t),
+                )
+            else:
+                Linv = schur._point_factor_inv(ctx, lam, mode, dtype)
+                y2 = jnp.einsum("mij,mj->mi", Linv, t)
+                dxp = jnp.einsum("mji,mj->mi", Linv, y2)
+        elif point_factor == "eig":
             winv = 1.0 / (ctx.evals + lam)
             S_sum, b_sum = schur._schur_gram_chunked(
                 ctx.WQ, winv, ctx.y0, cam_idx, table_local, n, mm or dtype
@@ -365,21 +489,29 @@ def make_sharded_kernels(
         rho_scale = jnp.asarray(lam, acc) * dx_norm2 + jtres_dot
         return x_test, e_test, rho_scale
 
+    trial_in = (ctx_spec, state_spec, P(), obs_spec, P(axis), P(axis))
+    if use_pairs:
+        trial_in = trial_in + (pairs_spec,)
     trial_sm = shard_map(
         trial_body,
         mesh=mesh,
-        in_specs=(ctx_spec, state_spec, P(), obs_spec, P(axis), P(axis)),
+        in_specs=trial_in,
         out_specs=(state_spec, P(), P()),
         check_vma=False,
     )
 
     def prepare(state):
-        return prepare_sm(state, sp.obs, sp.pt_obs_idx, sp.cam_obs_idx)
+        args = (state, sp.obs, sp.pt_obs_idx, sp.cam_obs_idx)
+        if use_pairs:
+            args = args + (sp.pairs, sp.cam_obs_pt)
+        return prepare_sm(*args)
 
     def trial(ctx, state, lam):
-        return trial_sm(
-            ctx, state, jnp.asarray(lam), sp.obs, sp.pt_obs_idx, sp.cam_obs_idx
-        )
+        args = (ctx, state, jnp.asarray(lam), sp.obs, sp.pt_obs_idx,
+                sp.cam_obs_idx)
+        if use_pairs:
+            args = args + (sp.pairs,)
+        return trial_sm(*args)
 
     return prepare, trial
 

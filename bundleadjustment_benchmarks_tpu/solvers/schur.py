@@ -459,18 +459,19 @@ def _schur_gram_pairs(C27, ysT, pairs, cam_obs_idx, pt_idx, n_cameras: int, mm):
     return S, b.astype(acc)
 
 
-def _pair_S_cached(ctx, lam, problem, n: int, mm):
-    """Reduced camera system from the CACHED pair-gram stacks (per trial).
+def _pair_gram_cached(ctx, lam, pairs, n: int, mm):
+    """(S_sum, b_sum) of the Schur gram from the CACHED pair stacks.
 
-    S(lam) = blkdiag(U + lam I) - sum_pairs WQ_a diag(w) WQ_b^T with
-    w = 1/(evals + lam) — exactly the whitened W (V + lam I)^-1 W^T Schur
-    gram, but with every lambda-independent gather hoisted into
-    build_context (ctx.pairA/pairB/diagG). A damping trial costs: gather the
-    3 weight rows into the pair/camera tables, two weighted contractions,
-    key sums, and the dense grid gather. Sentinel slots gather weight 0, so
-    padding contributes nothing.
+    S_sum = sum_pairs WQ_a diag(w) WQ_b^T with w = 1/(evals + lam) —
+    exactly the whitened W (V + lam I)^-1 W^T gram, but with every
+    lambda-independent gather hoisted into build_context
+    (ctx.pairA/pairB/diagG). A damping trial costs: gather the 3 weight
+    rows into the pair/camera tables, two weighted contractions, key sums,
+    and the dense grid gather. Sentinel slots gather weight 0, so padding
+    contributes nothing. Returns (S_sum (9N, 9N), b_sum (N, 9)) in the
+    accumulation dtype — the sharded path psums these across shards before
+    assembly.
     """
-    dtype = ctx.U.dtype
     acc = jnp.float32 if jnp.dtype(mm) == jnp.bfloat16 else jnp.dtype(mm)
     winv = 1.0 / (ctx.evals + lam.astype(ctx.evals.dtype))  # (M, 3)
     w_ext = jnp.concatenate(
@@ -501,7 +502,6 @@ def _pair_S_cached(ctx, lam, problem, n: int, mm):
     )  # (N, 9)
 
     # Assemble (same scatter-free placement as _schur_gram_pairs).
-    pairs = problem.pairs
     O_ext = jnp.concatenate([O, jnp.zeros((81, 1), acc)], axis=1)
     key_sums = O_ext[:, pairs.key_table].sum(axis=2)  # (81, KO)
     key_ext = jnp.concatenate([key_sums, jnp.zeros((81, 1), acc)], axis=1)
@@ -510,7 +510,12 @@ def _pair_S_cached(ctx, lam, problem, n: int, mm):
     eye = jnp.eye(n, dtype=acc)
     full4 = full4 + jnp.transpose(Mdiag, (1, 2, 0))[..., None] * eye
     S_sum = jnp.transpose(full4, (2, 0, 3, 1)).reshape(9 * n, 9 * n)
+    return S_sum, b_sum
 
+
+def assemble_reduced(S_sum, b_sum, ctx, lam, n: int):
+    """S = blkdiag(U + lam I) - S_sum, b = g_cams - b_sum (shared tail)."""
+    dtype = ctx.U.dtype
     S = -S_sum.astype(dtype)
     S4 = S.reshape(n, 9, n, 9)
     ar = jnp.arange(n)
@@ -518,6 +523,12 @@ def _pair_S_cached(ctx, lam, problem, n: int, mm):
     S = S4.reshape(9 * n, 9 * n)
     b = ctx.g_cams.reshape(-1) - b_sum.reshape(-1).astype(dtype)
     return S, b
+
+
+def _pair_S_cached(ctx, lam, problem, n: int, mm):
+    """Reduced camera system from the cached pair-gram stacks (per trial)."""
+    S_sum, b_sum = _pair_gram_cached(ctx, lam, problem.pairs, n, mm)
+    return assemble_reduced(S_sum, b_sum, ctx, lam, n)
 
 
 def _planar27(x, mm):
