@@ -813,19 +813,38 @@ def _camera_solve_chol(S, b):
     # dtype, then ITERATIVE REFINEMENT with f64 residuals — two extra
     # (9N)^2 matvecs buy ~f64 solution accuracy without an emulated-f64
     # (9N)^3 factorization (the SURVEY.md mixed-precision recipe).
+    # Cholesky first (2.8x faster than XLA's QR at 2313^2 on a v5e); at
+    # very small lambda the Schur cancellation can leave S indefinite at
+    # the 1e-10-relative level, which LLT turns into NaN — detected on the
+    # factor and routed to the backward-stable QR branch via lax.cond (the
+    # fallback compiles always, runs only on breakdown).
     Ss32 = Ss64.astype(in_dtype)
-    Q, R = jnp.linalg.qr(Ss32)
-
-    def solve32(r64):
-        r32 = r64.astype(in_dtype)
-        y32 = jax.scipy.linalg.solve_triangular(R, Q.T @ r32, lower=False)
-        return y32.astype(acc)
-
+    L = jnp.linalg.cholesky(Ss32)
+    chol_ok = jnp.all(jnp.isfinite(L))
     bs = b64 * dinv
-    y = solve32(bs)
-    for _ in range(2):
-        resid = bs - Ss64 @ y
-        y = y + solve32(resid)
+
+    def refine(solve32):
+        y = solve32(bs)
+        for _ in range(2):
+            y = y + solve32(bs - Ss64 @ y)
+        return y
+
+    def chol_branch(_):
+        return refine(
+            lambda r64: jax.scipy.linalg.cho_solve(
+                (L, True), r64.astype(in_dtype)
+            ).astype(acc)
+        )
+
+    def qr_branch(_):
+        Q, R = jnp.linalg.qr(Ss32)
+        return refine(
+            lambda r64: jax.scipy.linalg.solve_triangular(
+                R, Q.T @ r64.astype(in_dtype), lower=False
+            ).astype(acc)
+        )
+
+    y = jax.lax.cond(chol_ok, chol_branch, qr_branch, None)
     return (y * dinv).astype(in_dtype)
 
 

@@ -55,6 +55,19 @@ def make_synthetic_problem(
     st, ct = np.sin(theta)[..., None], np.cos(theta)[..., None]
     R = np.eye(3) + st * Kx + (1 - ct) * np.einsum("nij,njk->nik", Kx, Kx)
 
+    # Resample points that land at (or behind) a viewing camera's plane:
+    # z ~ 0 projections make the synthetic energy inf/NaN (observed at the
+    # 18060-point scale with seed 0). Real BAL data has no such points.
+    for _ in range(100):
+        z = (
+            np.einsum("kj,kj->k", R[cam_idx][:, 2, :], points[pt_idx])
+            + translation[cam_idx][:, 2]
+        )
+        bad = np.unique(pt_idx[z < 0.2])
+        if bad.size == 0:
+            break
+        points[bad] = rng.normal(scale=0.5, size=(bad.size, 3))
+
     XX = (
         np.einsum("kij,kj->ki", R[cam_idx], points[pt_idx])
         + translation[cam_idx]
