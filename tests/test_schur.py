@@ -137,3 +137,54 @@ def test_gradient_dot_matches_dense():
     expected = dx @ (lam * dx + jtres)
     got = float(schur.gradient_dot(ctx, dxp, dxc, lam))
     np.testing.assert_allclose(got, expected, rtol=1e-8)
+
+
+def test_pair_gram_same_camera_duplicate_observations():
+    """A point observed TWICE by one camera (absent from real BAL data, but
+    legal input): its same-camera pair must land on the diagonal block via
+    up4 + up4^T, matching the chunked gram exactly in f64."""
+    import jax.numpy as jnp
+    from bundleadjustment_benchmarks_tpu.io.bal import BalDataset
+    from bundleadjustment_benchmarks_tpu.models.problem import from_bal_dataset
+
+    rng = np.random.default_rng(5)
+    n, m = 3, 6
+    cam_idx = np.array([0, 0, 1, 0, 1, 2, 1, 1, 2, 0, 2, 0], np.int32)
+    pt_idx = np.array([0, 0, 0, 1, 1, 1, 2, 2, 3, 4, 4, 5], np.int32)
+    ds = BalDataset(
+        cam_idx=cam_idx,
+        pt_idx=pt_idx,
+        measurements=rng.normal(size=(len(cam_idx), 2)),
+        omega=rng.normal(scale=0.1, size=(n, 3)),
+        translation=np.c_[rng.normal(size=(n, 2)) * 0.1, np.full(n, 2.0)],
+        focal=rng.uniform(400, 600, size=n),
+        k1=np.zeros(n),
+        k2=np.zeros(n),
+        points=rng.normal(scale=0.3, size=(m, 3)),
+    )
+    # Huge threshold: random 'measurements' must stay inside the robust
+    # kernel's quadratic region, else every Jacobian block truncates to 0.
+    problem = from_bal_dataset(ds, inlier_threshold=1e4)
+    assert problem.pairs is not None
+    k = problem.n_observations
+    C = jnp.asarray(rng.normal(size=(k, 9, 3)))
+    y = jnp.asarray(rng.normal(size=(m, 3)))
+    S_ref, b_ref = schur._schur_gram_chunked(
+        C, None, y, problem.obs.cam_idx, problem.pt_obs_idx,
+        problem.n_cameras, C.dtype,
+    )
+    S, b = schur._schur_gram(C, None, y, problem, problem.n_cameras, C.dtype)
+    np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref), atol=1e-12)
+
+    # And the cached per-trial path must solve the same damped system.
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, "cholesky")
+    assert ctx.pairA is not None
+    dxp, dxc = schur.solve_damped(ctx, 0.3, problem, "cholesky")
+    dxp_ref, dxc_ref = dense_solve(problem, 0.3)
+    scale = max(np.abs(dxc_ref).max(), 1e-12)
+    np.testing.assert_allclose(np.asarray(dxp), dxp_ref, atol=1e-8 * scale)
+    np.testing.assert_allclose(np.asarray(dxc), dxc_ref, atol=1e-8 * scale)
