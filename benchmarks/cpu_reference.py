@@ -93,6 +93,36 @@ def residuals(st, ci, pi, meas):
     return (r * scale[:, None]).reshape(-1)
 
 
+def error_statistics(st, ci, pi, meas, avg_focal=1.0, threshold=TAU):
+    """Reference Utils::showErrorStatistics (Utils.h:15-43), numpy."""
+    q, _, _, _ = project(st, ci, pi)
+    err = np.linalg.norm(avg_focal * (q - meas), axis=-1)
+    inlier = err <= threshold
+    n_inl = int(inlier.sum())
+    return {
+        "mean_reprojection_error": float(err.mean()),
+        "inlier_mean_reprojection_error": float(err[inlier].mean())
+        if n_inl
+        else float("nan"),
+        "n_inliers": n_inl,
+        "n_observations": int(len(err)),
+    }
+
+
+def true_objective(st, ci, pi, meas, avg_focal=1.0, threshold=TAU):
+    """Reference Utils::showObjective (Utils.h:45-68), numpy — including the
+    quirk that the cubic kernel's r2 argument receives a NORM (Utils.h:61)."""
+    q, _, _, _ = project(st, ci, pi)
+    r = np.linalg.norm((avg_focal * avg_focal) * (q - meas), axis=-1)
+    tau2 = threshold * threshold
+    val = np.where(
+        r < tau2,
+        r * (3 - 3 * r / tau2 + (r / tau2) ** 2) / 6,
+        tau2 / 6,
+    )
+    return float(val.sum())
+
+
 def jacobian(st, ci, pi, meas, m, n):
     K = len(ci)
     q, XX, xu, xd = project(st, ci, pi)
@@ -176,7 +206,11 @@ def apply_step(st: State, dx, m, n):
     return out
 
 
-def minimize(st, ci, pi, meas, m, n, max_iter=100, tol_fun=1e-8, verbose=False):
+def minimize(st, ci, pi, meas, m, n, max_iter=100, tol_fun=1e-8, verbose=False,
+             trace=None):
+    """``trace``: optional list; appends (iter, energy_after_accept, lam)
+    per accepted iteration — consumed by the JAX-vs-CPU parity tests and the
+    flatline-campaign JSON record."""
     lam = 1e-3
     lam_inc = 2.0
     hist = [0.0, 0.0]
@@ -215,8 +249,11 @@ def minimize(st, ci, pi, meas, m, n, max_iter=100, tol_fun=1e-8, verbose=False):
                 lam_inc = 2.0
                 energy = e_t
                 hist[it % 2] = energy
+                if trace is not None:
+                    trace.append((it, energy, lam))
                 if verbose:
-                    print(f"{it:5d} Accepted {energy:.6g} rho={rho:.4g} lam={lam:.4g}")
+                    print(f"{it:5d} Accepted {energy:.6g} rho={rho:.4g} lam={lam:.4g}",
+                          flush=True)
                 break
             else:
                 if lam > 1e10:
@@ -239,8 +276,11 @@ def main():
     ap.add_argument("problem", nargs="?",
                     default="/root/reference/data/problem-21-11315-pre.txt")
     ap.add_argument("--max-iter", type=int, default=25)
+    ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--record", action="store_true")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--json", default=None,
+                    help="write trajectory + post-stats JSON to this path")
     args = ap.parse_args()
 
     ds = bal.read_bal(args.problem)
@@ -248,14 +288,46 @@ def main():
     ci, pi, meas = ds.cam_idx, ds.pt_idx, ds.measurements
     m, n = ds.n_points, ds.n_cameras
 
+    pre_stats = error_statistics(st, ci, pi, meas)
+    pre_obj = true_objective(st, ci, pi, meas)
+    print(f"pre: mean_err={pre_stats['mean_reprojection_error']:.9g} "
+          f"inlier_err={pre_stats['inlier_mean_reprojection_error']:.9g} "
+          f"({pre_stats['n_inliers']}/{pre_stats['n_observations']}) "
+          f"true_obj={pre_obj:.9g}", flush=True)
+
+    trace = []
     t0 = time.perf_counter()
     st, status, iters, fun_evals, energy = minimize(
-        st, ci, pi, meas, m, n, max_iter=args.max_iter, verbose=args.verbose
+        st, ci, pi, meas, m, n, max_iter=args.max_iter, tol_fun=args.tol,
+        verbose=args.verbose, trace=trace,
     )
     wall = time.perf_counter() - t0
     iters_per_sec = iters / wall
+    post_stats = error_statistics(st, ci, pi, meas)
+    post_obj = true_objective(st, ci, pi, meas)
     print(f"status={status} iters={iters} funEvals={fun_evals} "
           f"energy={energy:.9g} wall={wall:.3f}s iters/s={iters_per_sec:.4f}")
+    print(f"post: mean_err={post_stats['mean_reprojection_error']:.9g} "
+          f"inlier_err={post_stats['inlier_mean_reprojection_error']:.9g} "
+          f"({post_stats['n_inliers']}/{post_stats['n_observations']}) "
+          f"true_obj={post_obj:.9g}")
+
+    if args.json:
+        with open(args.json, "w") as fp:
+            json.dump({
+                "problem": os.path.basename(args.problem),
+                "solver": "cholesky (scipy splu port)",
+                "status": status, "iterations": iters,
+                "fun_evals": fun_evals, "energy": energy,
+                "wall_s": wall,
+                "pre": {**pre_stats, "true_objective": pre_obj},
+                "post": {**post_stats, "true_objective": post_obj},
+                "trace": [
+                    {"iter": t_i, "energy": t_e, "lam": t_l}
+                    for t_i, t_e, t_l in trace
+                ],
+            }, fp, indent=1)
+        print(f"wrote {args.json}")
 
     if args.record:
         path = os.path.join(os.path.dirname(os.path.dirname(

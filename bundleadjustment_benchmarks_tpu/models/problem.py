@@ -82,12 +82,25 @@ class BAObservations:
       measurements: (K, 2), already divided by avg_focal_length.
       weights: (K,) — carried for parity with the reference InputType
         ("FixMe: Not used for now", BAFunctor.h:295,341); unused in the math.
+      measurements_pl: optional (2, K) f32 planar copy, precomputed at load —
+        the Pallas chain consumes planar rows every damping trial and XLA
+        does not hoist the column-slice relayouts out of the LM while loop
+        (measured ~0.17 ms/trial of per-row copies on problem-21).
     """
 
     cam_idx: jax.Array
     pt_idx: jax.Array
     measurements: jax.Array
     weights: jax.Array
+    measurements_pl: Optional[jax.Array] = None
+    #: Pre-tiled (St, 128) index maps + (2, St, 128) f32 measurements for the
+    #: Pallas chain (St*128 = K padded to a grid multiple, padding clamped to
+    #: the last observation and masked downstream). Gathering DIRECTLY into
+    #: the kernel's tiled operand shape removes the per-trial pad+reshape
+    #: relayout copies of every planar row (measured ~0.8 ms/trial total).
+    cam_idx_t: Optional[jax.Array] = None
+    pt_idx_t: Optional[jax.Array] = None
+    meas_t: Optional[jax.Array] = None
 
     @property
     def n_observations(self) -> int:
@@ -236,6 +249,12 @@ class BAProblem:
     #: companion of cam_obs_idx for the cached pair gram's per-trial weight
     #: gathers (see PairTables.row_pt for why it is precomputed).
     cam_obs_pt: Optional[jax.Array] = None  # (N, Lcam) int32
+    #: Degree-banded versions of pt_obs_idx / cam_obs_idx (see BandedTable):
+    #: the single padded tables waste 2-5x gather bandwidth on BAL degree
+    #: distributions. Consumed by the gram/segment-sum hot paths; the padded
+    #: tables remain for the QR point stacks (which need one uniform shape).
+    pt_banded: Optional[BandedTable] = None
+    cam_banded: Optional[BandedTable] = None
 
     @property
     def tau2(self) -> float:
@@ -256,6 +275,93 @@ class BAProblem:
     @property
     def max_obs_per_point(self) -> int:
         return self.pt_obs_idx.shape[1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BandedTable:
+    """Degree-banded gather tables for scatter-free segment reductions.
+
+    A single (S, Lmax) gather table pads EVERY segment to the maximum degree;
+    on BAL data the mean point degree is ~3 while Lmax is ~15-100, so ~70-80%
+    of the gathered bytes are sentinel zeros (measured: the padded point-gram
+    gather alone cost ~1 ms/LM-iteration on problem-21). Here segments are
+    grouped by degree class: band i holds the segments whose degree rounds up
+    to width w_i, as its own (S_i, w_i) table. Band results are concatenated
+    (degree-sorted order) and returned to natural order with one tiny (S,)
+    gather — no scatter anywhere.
+
+    Attributes:
+      tables: per-band (S_i, w_i) gather tables, sentinel = n_values.
+      aux: optional per-band companion tables (same shapes) carrying the
+        point index of each slot (sentinel = n_points) — used by the cached
+        pair-gram's per-trial eigenvalue-weight gathers.
+      unperm: (S,) int32; concat-order -> natural order gather indices.
+    """
+
+    tables: tuple
+    unperm: jax.Array
+    aux: Optional[tuple] = None
+
+
+def _banded_table(
+    idx: np.ndarray, n_segments: int, aux_values: Optional[np.ndarray] = None,
+    aux_sentinel: int = 0, max_bands: int = 4,
+) -> BandedTable:
+    """Build a BandedTable from (unsorted) segment indices.
+
+    Band widths are the distinct power-of-two roundings of the segment
+    degrees (capped at ``max_bands`` classes; the largest classes merge).
+    ``aux_values``: optional (K,) per-value companion (e.g. point index);
+    gathered into per-band aux tables with ``aux_sentinel`` padding.
+    """
+    k = idx.shape[0]
+    counts = np.bincount(idx, minlength=n_segments)
+    # Power-of-two width class per segment, capped at max_bands distinct
+    # classes (the largest classes merge into one).
+    widths = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(counts, 1))).astype(int))
+    classes = np.unique(widths)[::-1]  # descending
+    if len(classes) > max_bands:
+        merged = classes[max_bands - 1 :]
+        widths = np.where(np.isin(widths, merged[1:]), merged[0], widths)
+        classes = np.unique(widths)[::-1]
+    # Group segments by class (stable within class -> deterministic).
+    order = np.argsort(-widths, kind="stable")
+    unperm = np.empty(n_segments, dtype=np.int32)
+    unperm[order] = np.arange(n_segments, dtype=np.int32)
+
+    starts = np.zeros(n_segments, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    sorted_vals = np.argsort(idx, kind="stable")  # values grouped by segment
+    sorted_seg = idx[sorted_vals]
+    pos = np.arange(k, dtype=np.int64) - starts[sorted_seg]
+    aux_ext = (
+        np.append(aux_values, aux_sentinel).astype(np.int32)
+        if aux_values is not None
+        else None
+    )
+
+    tables = []
+    aux_tables = []
+    lo = 0
+    for w in classes:
+        segs = order[lo : lo + int((widths == w).sum())]
+        lo += len(segs)
+        row_of = np.full(n_segments, -1, dtype=np.int64)
+        row_of[segs] = np.arange(len(segs))
+        tbl = np.full((len(segs), int(w)), k, dtype=np.int32)
+        member = row_of[sorted_seg] >= 0
+        tbl[row_of[sorted_seg[member]], pos[member]] = sorted_vals[
+            member
+        ].astype(np.int32)
+        tables.append(jnp.asarray(tbl))
+        if aux_ext is not None:
+            aux_tables.append(jnp.asarray(aux_ext[np.minimum(tbl, k)]))
+    return BandedTable(
+        tables=tuple(tables),
+        unperm=jnp.asarray(unperm),
+        aux=tuple(aux_tables) if aux_values is not None else None,
+    )
 
 
 def _index_table(idx: np.ndarray, n_segments: int) -> np.ndarray:
@@ -331,11 +437,34 @@ def from_bal_dataset(
         k2=jnp.asarray(k2, dtype),
         points=jnp.asarray(ds.points, dtype),
     )
+    k_obs = cam_idx.shape[0]
+    tiled = {}
+    if k_obs:
+        # Tile geometry must match ops/pallas_chain (LANES=128, TILE=4096).
+        kpad = -(-k_obs // 4096) * 4096
+        flat = np.minimum(np.arange(kpad, dtype=np.int64), k_obs - 1)
+        tiled = dict(
+            cam_idx_t=jnp.asarray(
+                cam_idx[flat].reshape(-1, 128).astype(np.int32)
+            ),
+            pt_idx_t=jnp.asarray(
+                pt_idx[flat].reshape(-1, 128).astype(np.int32)
+            ),
+            meas_t=jnp.asarray(
+                np.ascontiguousarray(meas.T)[:, flat]
+                .reshape(2, -1, 128)
+                .astype(np.float32)
+            ),
+        )
     obs = BAObservations(
         cam_idx=jnp.asarray(cam_idx),
         pt_idx=jnp.asarray(pt_idx),
         measurements=jnp.asarray(meas, dtype),
         weights=jnp.ones((cam_idx.shape[0],), dtype),
+        measurements_pl=jnp.asarray(
+            np.ascontiguousarray(meas.T), jnp.float32
+        ),
+        **tiled,
     )
     table, counts = _point_segment_table(pt_idx, ds.n_points, pad_to=None)
     cam_table = _index_table(cam_idx, n)
@@ -351,6 +480,10 @@ def from_bal_dataset(
         avg_focal_length=float(avg_focal_length),
         pairs=_pair_tables(pt_idx, cam_idx, n),
         cam_obs_pt=jnp.asarray(cam_pt),
+        pt_banded=_banded_table(pt_idx, ds.n_points, aux_values=pt_idx,
+                                aux_sentinel=ds.n_points),
+        cam_banded=_banded_table(cam_idx, n, aux_values=pt_idx,
+                                 aux_sentinel=ds.n_points),
     )
 
 
@@ -380,6 +513,10 @@ class FastBAState:
     iterations. Points (M-sized) ride as a two-float (hi, lo) f32 pair so the
     per-iteration point update and all K-sized geometry run without a single
     f64 HLO (see ops/twofloat.py for why emulated f64 is fatal on TPU).
+
+    ``points`` components are PLANAR (3, M): the per-trial gathers and the
+    Pallas chain consume planar rows, and the (M, 3) transposes otherwise
+    re-materialize inside the LM loop every damping trial.
     """
 
     K: jax.Array
@@ -402,7 +539,7 @@ def to_fast(state: BAState) -> FastBAState:
         T=state.T,
         k1=state.k1,
         k2=state.k2,
-        points=tf.from_array(state.points),
+        points=tf.from_array(state.points.T),
     )
 
 
@@ -416,7 +553,7 @@ def from_fast(fast: FastBAState, dtype=None) -> BAState:
         T=fast.T,
         k1=fast.k1,
         k2=fast.k2,
-        points=points.astype(dtype),
+        points=points.T.astype(dtype),
     )
 
 
@@ -444,7 +581,7 @@ def apply_step_fast(
         T=fast.T + dT,
         k1=fast.k1 + dk1,
         k2=fast.k2 + dk2,
-        points=tf.add_f(fast.points, dx_points.astype(jnp.float32)),
+        points=tf.add_f(fast.points, dx_points.T.astype(jnp.float32)),
     )
 
 

@@ -106,16 +106,36 @@ def _energy_kernel(k_ref, tau2_ref, camg_ref, ptsg_ref, meas_ref,
     _accumulate_energy(step, v, _valid_mask(step, k_ref[0]), ehi_ref, elo_ref)
 
 
-def _chain_call(kernel, n_out_rows, camg, ptsg, m0, m1, tau2, interpret):
+def _tiled_operands(fast, obs):
+    """(camg_t (27, St, 128), ptsg_t (6, St, 128), meas_t (2, St, 128), k).
+
+    Preferred path: gather straight into the kernel's tiled shape via the
+    load-time (St, 128) index maps (BAObservations.cam_idx_t) — XLA emits
+    ONE gather per operand with a natively tiled output. Fallback (problems
+    without the tiled fields, e.g. sharded local views): planar gather +
+    pad + reshape, which costs a relayout copy per planar row.
+    """
+    cam = projection.planar_camera_pack(fast)  # (27, N)
+    pts = jnp.concatenate([fast.points.hi, fast.points.lo], axis=0)  # (6, M)
+    k = obs.cam_idx.shape[0]
+    cam_t = getattr(obs, "cam_idx_t", None)
+    if cam_t is not None:
+        return cam[:, cam_t], pts[:, obs.pt_idx_t], obs.meas_t, k
+    kpad = -(-k // TILE) * TILE
+    camg_t = _tiled(cam[:, obs.cam_idx], kpad)
+    ptsg_t = _tiled(pts[:, obs.pt_idx], kpad)
+    meas_t = _tiled(_meas_planar(obs), kpad)
+    return camg_t, ptsg_t, meas_t, k
+
+
+def _chain_call(kernel, n_out_rows, camg_t, ptsg_t, meas_t, k, tau2, interpret):
     """Shared pallas_call plumbing for the chain kernels."""
     if interpret is None:
         interpret = not available()  # CPU tests run the same kernels interpreted
-    k = camg.shape[1]
-    grid = -(-k // TILE)
-    kpad = grid * TILE
-    camg_t = _tiled(camg, kpad)
-    ptsg_t = _tiled(ptsg, kpad)
-    meas_t = _tiled(jnp.stack([m0, m1]), kpad)
+    st = camg_t.shape[1]
+    assert st % SUBLANES == 0, st
+    grid = st // SUBLANES
+    kpad = st * LANES
     k_arr = jnp.full((1,), k, jnp.int32)
     tau2_arr = jnp.full((1,), tau2, jnp.float32)
 
@@ -148,8 +168,8 @@ def _chain_call(kernel, n_out_rows, camg, ptsg, m0, m1, tau2, interpret):
         in_specs=[
             pl.BlockSpec((1,), lambda i: (zero,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i: (zero,), memory_space=pltpu.SMEM),
-            block(camg.shape[0]),
-            block(ptsg.shape[0]),
+            block(camg_t.shape[0]),
+            block(ptsg_t.shape[0]),
             block(2),
         ],
         out_specs=tuple(out_specs),
@@ -168,17 +188,25 @@ def _chain_call(kernel, n_out_rows, camg, ptsg, m0, m1, tau2, interpret):
     return out, energy
 
 
+def _meas_planar(obs):
+    """(2, K) f32 planar measurements — precomputed at load when available
+    (per-trial column-slice relayouts of (K, 2) are not hoisted by XLA)."""
+    mp = getattr(obs, "measurements_pl", None)
+    if mp is not None:
+        return mp
+    return obs.measurements.astype(jnp.float32).T
+
+
 def fused_blocks_energy(fast, obs, tau2, interpret=None):
     """One fused kernel pass: robustified residuals, Jacobian blocks, energy.
 
     Drop-in for (jacobian.residuals_and_jacobian_fast +
     projection.compensated_square_sum) — returns (JacobianBlocks, energy).
     """
-    camg, ptsg = projection.planar_gather(fast, obs)
-    m = obs.measurements.astype(jnp.float32)
+    camg_t, ptsg_t, meas_t, k = _tiled_operands(fast, obs)
     out, energy = _chain_call(
         _blocks_kernel, jacobian.PLANAR_CHAIN_ROWS,
-        camg, ptsg, m[:, 0], m[:, 1], tau2, interpret,
+        camg_t, ptsg_t, meas_t, k, tau2, interpret,
     )
     return jacobian.blocks_from_planar_rows(out), energy
 
@@ -186,10 +214,9 @@ def fused_blocks_energy(fast, obs, tau2, interpret=None):
 def fused_energy(fast, obs, tau2, interpret=None):
     """One fused kernel pass for the trial objective (drop-in for
     projection.energy_fast)."""
-    camg, ptsg = projection.planar_gather(fast, obs)
-    m = obs.measurements.astype(jnp.float32)
+    camg_t, ptsg_t, meas_t, k = _tiled_operands(fast, obs)
     _, energy = _chain_call(
-        _energy_kernel, 0, camg, ptsg, m[:, 0], m[:, 1], tau2, interpret
+        _energy_kernel, 0, camg_t, ptsg_t, meas_t, k, tau2, interpret
     )
     return energy
 

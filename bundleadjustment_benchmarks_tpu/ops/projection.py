@@ -176,7 +176,7 @@ def planar_gather(fast, obs):
     Returns (camg (27, K), ptsg (6, K)) f32 planar components.
     """
     cam = planar_camera_pack(fast)  # (27, N)
-    pts = jnp.concatenate([fast.points.hi.T, fast.points.lo.T], axis=0)  # (6, M)
+    pts = jnp.concatenate([fast.points.hi, fast.points.lo], axis=0)  # (6, M)
     return cam[:, obs.cam_idx], pts[:, obs.pt_idx]
 
 

@@ -243,113 +243,111 @@ def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
     dtype = accumulation_dtype(dtype)
     running = jnp.int32(int(LMStatus.Running))
 
-    def outer_cond(st: _OuterState):
-        return st.status == running
+    # The top-of-iteration stop checks (BacktrackLevMarqCholesky.h:229-237)
+    # live in the WHILE CONDITION, not a lax.cond inside the body: a
+    # conditional wrapping the whole iteration forces XLA to copy every
+    # state leaf in and out of the conditional each iteration (measured
+    # ~87 us of fixed DMA latency per leaf copy on the remote TPU — over
+    # 1 ms/LM-iteration of pure loop-boundary data movement). The exact
+    # reference semantics (status set, iteration counter incremented, no
+    # work done) are reconstructed after the loop.
 
-    def outer_body(st: _OuterState):
-        it = st.it + 1
-        # Top-of-iteration stop checks (BacktrackLevMarqCholesky.h:229-237).
-        status = jnp.where(
-            it > config.max_iter,
-            jnp.int32(int(LMStatus.MaxItersReached)),
-            jnp.where(
-                st.fun_evals > config.max_fun_ev,
-                jnp.int32(int(LMStatus.TooManyFunctionEvaluation)),
-                running,
+    def outer_cond(st: _OuterState):
+        return jnp.logical_and(
+            st.status == running,
+            jnp.logical_and(
+                st.it + 1 <= config.max_iter,
+                st.fun_evals <= config.max_fun_ev,
             ),
         )
 
-        def stopped(_):
-            return st._replace(it=it, status=status)
+    def outer_body(st: _OuterState):
+        it = st.it + 1
+        ctx, energy, lam0_rule = prepare(st.x)
+        fun_evals = st.fun_evals + 1
+        lam0 = jnp.where(it == 1, lam0_rule, st.lam)
 
-        def work(_):
-            ctx, energy, lam0_rule = prepare(st.x)
-            fun_evals = st.fun_evals + 1
-            lam0 = jnp.where(it == 1, lam0_rule, st.lam)
+        def inner_cond(c):
+            _, _, _, accepted, stop, _ = c
+            return jnp.logical_not(jnp.logical_or(accepted, stop))
 
-            def inner_cond(c):
-                _, _, _, accepted, stop, _ = c
-                return jnp.logical_not(jnp.logical_or(accepted, stop))
+        def inner_body(c):
+            lam, lam_inc, (x_test, e_test), _, _, fe = c
+            x_t, e_t, rho_scale = trial(ctx, st.x, lam)
+            fe = fe + 1
+            accepted = e_t < energy
 
-            def inner_body(c):
-                lam, lam_inc, (x_test, e_test), _, _, fe = c
-                x_t, e_t, rho_scale = trial(ctx, st.x, lam)
-                fe = fe + 1
-                accepted = e_t < energy
-
-                # Accept branch: Nielsen lambda decrease (:299-316).
-                rho = (energy - e_t) / rho_scale
-                lam_mul = 1.0 - (2.0 * rho - 1.0) ** 3
-                lam_acc = jnp.maximum(
-                    lam * jnp.maximum(jnp.asarray(1.0 / 3.0, dtype), lam_mul),
-                    jnp.asarray(config.lambda_min, dtype),
-                )
-                # Reject branch: stop check precedes growth (:325-334).
-                stop = jnp.logical_and(
-                    jnp.logical_not(accepted), lam > config.lambda_max
-                )
-                grow = jnp.logical_and(
-                    jnp.logical_not(accepted), jnp.logical_not(stop)
-                )
-                lam_new = jnp.where(
-                    accepted, lam_acc, jnp.where(grow, lam * lam_inc, lam)
-                )
-                lam_inc_new = jnp.where(
-                    accepted,
-                    jnp.asarray(config.lambda_increase_base, dtype),
-                    jnp.where(grow, lam_inc**1.5, lam_inc),
-                )
-                return (lam_new, lam_inc_new, (x_t, e_t), accepted, stop, fe)
-
-            init = (
-                lam0,
-                st.lam_inc,
-                (st.x, energy),
-                jnp.asarray(False),
-                jnp.asarray(False),
-                fun_evals,
+            # Accept branch: Nielsen lambda decrease (:299-316).
+            rho = (energy - e_t) / rho_scale
+            lam_mul = 1.0 - (2.0 * rho - 1.0) ** 3
+            lam_acc = jnp.maximum(
+                lam * jnp.maximum(jnp.asarray(1.0 / 3.0, dtype), lam_mul),
+                jnp.asarray(config.lambda_min, dtype),
             )
-            lam, lam_inc, (x_test, e_test), accepted, stop, fun_evals = (
-                jax.lax.while_loop(inner_cond, inner_body, init)
+            # Reject branch: stop check precedes growth (:325-334).
+            stop = jnp.logical_and(
+                jnp.logical_not(accepted), lam > config.lambda_max
             )
-
-            new_energy = jnp.where(accepted, e_test, energy)
-            hist = jnp.where(
+            grow = jnp.logical_and(
+                jnp.logical_not(accepted), jnp.logical_not(stop)
+            )
+            lam_new = jnp.where(
+                accepted, lam_acc, jnp.where(grow, lam * lam_inc, lam)
+            )
+            lam_inc_new = jnp.where(
                 accepted,
-                st.hist.at[it % config.energy_history_size].set(new_energy),
-                st.hist,
+                jnp.asarray(config.lambda_increase_base, dtype),
+                jnp.where(grow, lam_inc**1.5, lam_inc),
             )
-            flat = jnp.logical_and(
-                it > config.energy_history_size,
-                jnp.abs(new_energy - jnp.max(hist)) < config.tol_fun * new_energy,
-            )
-            flat = jnp.logical_and(flat, accepted)
-            status2 = jnp.where(
-                stop,
-                jnp.int32(int(LMStatus.ExceededLambdaMax)),
-                jnp.where(flat, jnp.int32(int(LMStatus.Success)), running),
-            )
-            # Advance x only while Running (the reference's final-step-discard
-            # quirk, :344-353) unless discard_final_step is disabled.
-            if config.discard_final_step:
-                advance = status2 == running
-            else:
-                advance = accepted
-            x_new = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(advance, b, a), st.x, x_test
-            )
-            return _OuterState(
-                x=x_new,
-                lam=lam,
-                lam_inc=lam_inc,
-                it=it,
-                fun_evals=fun_evals,
-                hist=hist,
-                status=status2,
-                energy=new_energy,
-            )
+            return (lam_new, lam_inc_new, (x_t, e_t), accepted, stop, fe)
 
-        return jax.lax.cond(status == running, work, stopped, None)
+        init = (
+            lam0,
+            st.lam_inc,
+            (st.x, energy),
+            jnp.asarray(False),
+            jnp.asarray(False),
+            fun_evals,
+        )
+        lam, lam_inc, (x_test, e_test), accepted, stop, fun_evals = (
+            jax.lax.while_loop(inner_cond, inner_body, init)
+        )
+
+        new_energy = jnp.where(accepted, e_test, energy)
+        hist = jnp.where(
+            accepted,
+            st.hist.at[it % config.energy_history_size].set(new_energy),
+            st.hist,
+        )
+        flat = jnp.logical_and(
+            it > config.energy_history_size,
+            jnp.abs(new_energy - jnp.max(hist)) < config.tol_fun * new_energy,
+        )
+        flat = jnp.logical_and(flat, accepted)
+        status2 = jnp.where(
+            stop,
+            jnp.int32(int(LMStatus.ExceededLambdaMax)),
+            jnp.where(flat, jnp.int32(int(LMStatus.Success)), running),
+        )
+        # Advance x only while Running (the reference's final-step-discard
+        # quirk, :344-353) unless discard_final_step is disabled.
+        if config.discard_final_step:
+            advance = status2 == running
+        else:
+            advance = accepted
+        x_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(advance, b, a), st.x, x_test
+        )
+        return _OuterState(
+            x=x_new,
+            lam=lam,
+            lam_inc=lam_inc,
+            it=it,
+            fun_evals=fun_evals,
+            hist=hist,
+            status=status2,
+            energy=new_energy,
+        )
 
     init = _OuterState(
         x=state0,
@@ -361,7 +359,22 @@ def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
         status=running,
         energy=jnp.asarray(jnp.inf, dtype),
     )
-    return jax.lax.while_loop(outer_cond, outer_body, init)
+    final = jax.lax.while_loop(outer_cond, outer_body, init)
+    # Reconstruct the reference's top-of-iteration stop bookkeeping: it
+    # increments the counter and sets the status WITHOUT doing work.
+    hit_limit = final.status == running
+    status = jnp.where(
+        hit_limit,
+        jnp.where(
+            final.it + 1 > config.max_iter,
+            jnp.int32(int(LMStatus.MaxItersReached)),
+            jnp.int32(int(LMStatus.TooManyFunctionEvaluation)),
+        ),
+        final.status,
+    )
+    return final._replace(
+        it=jnp.where(hit_limit, final.it + 1, final.it), status=status
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "config"))

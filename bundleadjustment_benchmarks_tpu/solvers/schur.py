@@ -101,9 +101,13 @@ class SchurContext:
     # 'factor once, re-damp cheap' trick applied to the Schur gram itself.
     pairA: Optional[jax.Array] = None  # (27, R, Lrow) WQ at pair member a
     pairB: Optional[jax.Array] = None  # (27, R, Lrow) WQ at pair member b
-    diagG: Optional[jax.Array] = None  # (27, N, Lcam) WQ at camera slots
+    #: (27, N, Lcam) WQ at camera slots — or a TUPLE of per-degree-band
+    #: (27, N_i, w_i) stacks when the problem carries cam_banded (then
+    #: cam_pt is the matching tuple and cam_unperm restores camera order).
+    diagG: Optional[object] = None
     row_pt: Optional[jax.Array] = None  # (R, Lrow) point of pair, sentinel M
-    cam_pt: Optional[jax.Array] = None  # (N, Lcam) point of slot, sentinel M
+    cam_pt: Optional[object] = None  # (N, Lcam) point of slot, sentinel M
+    cam_unperm: Optional[jax.Array] = None  # (N,) band order -> camera order
 
 
 def _scatter_z(Ct: jax.Array, cam_idx, pt_idx, n_cameras: int, n_points: int):
@@ -358,6 +362,50 @@ def planar_table_sum(P, table, budget_bytes: int = 64 << 20):
     return out
 
 
+def banded_planar_gram(P, banded, budget_bytes: int = 128 << 20):
+    """planar_segment_gram over a BandedTable: per-band grams, one unperm gather.
+
+    Each band gathers only its own width, so the padded-slot waste of the
+    single (S, Lmax) table (2-5x on BAL degree distributions) disappears.
+    Returns (S, C, C) in NATURAL segment order.
+    """
+    outs = [planar_segment_gram(P, t, budget_bytes) for t in banded.tables]
+    return jnp.concatenate(outs, axis=0)[banded.unperm]
+
+
+def banded_planar_sum(P, banded, budget_bytes: int = 64 << 20):
+    """planar_table_sum over a BandedTable; returns (C, S) in natural order."""
+    outs = [planar_table_sum(P, t, budget_bytes) for t in banded.tables]
+    return jnp.concatenate(outs, axis=1)[:, banded.unperm]
+
+
+def point_coupling_sum(W, dxc, cam_idx, problem):
+    """t_contrib[p] = sum_{k in p} W_k^T dxc[cam_k]  (M, 3), natural order.
+
+    The back-substitution segment sum; banded when the problem carries
+    pt_banded (the padded point table wastes ~4x gather bandwidth on BAL)."""
+    Wdx = jnp.einsum("kij,ki->kj", W, dxc[cam_idx])  # (K, 3)
+    banded = getattr(problem, "pt_banded", None)
+    if banded is None:
+        return table_segment_sum(Wdx, problem.pt_obs_idx)
+    return banded_planar_sum(Wdx.T, banded).T
+
+
+def _stack_dtype(mm):
+    """Storage dtype for the cached pair-gram stacks.
+
+    On TPU an f32 dot_general under DEFAULT precision runs as a single bf16
+    MXU pass anyway (the profile shows explicit f32->bf16 conversion fusions
+    feeding every gram contraction), so storing the lambda-independent
+    stacks in bf16 loses NO precision over what the MXU already computes —
+    while halving the dominant per-iteration copy/gather bytes (measured
+    ~1.2 ms/LM-iteration of pure data movement on problem-21).
+    """
+    if jnp.dtype(mm) == jnp.float32 and jax.default_backend() == "tpu":
+        return jnp.bfloat16
+    return jnp.dtype(mm)
+
+
 #: Upper-triangle component order of a symmetric 9x9 block.
 _SYM45 = [(i, j) for i in range(9) for j in range(i, 9)]
 
@@ -472,34 +520,69 @@ def _pair_gram_cached(ctx, lam, pairs, n: int, mm):
     accumulation dtype — the sharded path psums these across shards before
     assembly.
     """
-    acc = jnp.float32 if jnp.dtype(mm) == jnp.bfloat16 else jnp.dtype(mm)
+    acc = (
+        jnp.float32
+        if jnp.dtype(mm) in (jnp.bfloat16, jnp.float32)
+        else jnp.dtype(mm)
+    )
+    # Weight/rhs gathers run in the STACK dtype (bf16 on TPU): the products
+    # feed bf16 MXU passes regardless, so pre-rounding the weights changes
+    # nothing the MXU would see while halving the gather bytes.
+    sd = ctx.pairA.dtype
     winv = 1.0 / (ctx.evals + lam.astype(ctx.evals.dtype))  # (M, 3)
     w_ext = jnp.concatenate(
-        [winv.T.astype(mm), jnp.zeros((3, 1), mm)], axis=1
+        [winv.T.astype(sd), jnp.zeros((3, 1), sd)], axis=1
     )
-    py = (winv * ctx.y0).T.astype(mm)  # (3, M)
-    py_ext = jnp.concatenate([py, jnp.zeros((3, 1), mm)], axis=1)
+    py = (winv * ctx.y0).T.astype(sd)  # (3, M)
+    py_ext = jnp.concatenate([py, jnp.zeros((3, 1), sd)], axis=1)
 
-    # Strictly-upper pairs.
+    def group_sum(P, width):
+        """Sum contiguous lane groups of ``width``: (C, S*width) -> (C, S).
+
+        width < 128 (sub-lane groups): reduce_window keeps the operand in
+        its full-tile flat layout — a reshape to (C, S, width) would force a
+        physical retile (minor dim width << 128 wastes 8x HBM and XLA
+        materializes the copy). width >= 128: the (C, S, width) view is
+        itself fully lane-tiled, so reshape+sum is free — and reduce_window
+        with a multi-thousand-lane window blows the 16M scoped-VMEM limit
+        (measured: width 4096 asked for 23.8M and failed to compile)."""
+        if width >= 128:
+            return P.reshape(P.shape[0], -1, width).sum(axis=2)
+        return jax.lax.reduce_window(
+            P, jnp.zeros((), P.dtype), jax.lax.add,
+            (1, width), (1, width), "VALID",
+        )
+
+    # Strictly-upper pairs: FLAT planar products in the accumulation dtype
+    # (f32 VPU multiplies of the bf16-stored operands — same or better
+    # precision than the bf16 MXU pass the einsum would run), then one
+    # contiguous L-group lane reduction. No badly-tiled intermediates.
     r, l_row = ctx.row_pt.shape
-    wpair = w_ext[:, ctx.row_pt]  # (3, R, Lrow)
-    A9 = ctx.pairA.reshape(9, 3, r, l_row)
-    B9 = ctx.pairB.reshape(9, 3, r, l_row)
-    O = jnp.einsum(
-        "icrl,jcrl->ijr", A9 * wpair, B9, preferred_element_type=acc
-    ).reshape(81, r)
+    wflat = w_ext[:, ctx.row_pt.reshape(-1)].astype(acc)  # (3, R*L)
+    A9 = ctx.pairA.astype(acc).reshape(9, 3, r * l_row)
+    B9 = ctx.pairB.astype(acc).reshape(9, 3, r * l_row)
+    P = ((A9 * wflat[None])[:, None] * B9[None, :]).sum(2)  # (9, 9, R*L)
+    O = group_sum(P.reshape(81, r * l_row), l_row)  # (81, R)
 
-    # Diagonal blocks + rhs.
-    ncam, lcam = ctx.cam_pt.shape
-    wdiag = w_ext[:, ctx.cam_pt]  # (3, N, Lcam)
-    pyg = py_ext[:, ctx.cam_pt]
-    G9 = ctx.diagG.reshape(9, 3, ncam, lcam)
-    Mdiag = jnp.einsum(
-        "icnl,jcnl->nij", G9 * wdiag, G9, preferred_element_type=acc
-    )  # (N, 9, 9)
-    b_sum = jnp.einsum(
-        "icnl,cnl->ni", G9, pyg, preferred_element_type=acc
-    )  # (N, 9)
+    # Diagonal blocks + rhs (per degree band when cam_banded was present).
+    diag_bands = ctx.diagG if isinstance(ctx.diagG, tuple) else (ctx.diagG,)
+    campt_bands = ctx.cam_pt if isinstance(ctx.cam_pt, tuple) else (ctx.cam_pt,)
+    md_parts, b_parts = [], []
+    for G, cp in zip(diag_bands, campt_bands):
+        nb, lb = cp.shape
+        wd = w_ext[:, cp.reshape(-1)].astype(acc)  # (3, Nb*Lb)
+        pyg = py_ext[:, cp.reshape(-1)].astype(acc)
+        G9 = G.astype(acc).reshape(9, 3, nb * lb)
+        Pd = ((G9 * wd[None])[:, None] * G9[None, :]).sum(2)  # (9, 9, Nb*Lb)
+        md = group_sum(Pd.reshape(81, nb * lb), lb)  # (81, Nb)
+        md_parts.append(jnp.moveaxis(md.reshape(9, 9, nb), 2, 0))
+        bq = (G9 * pyg[None]).sum(1)  # (9, Nb*Lb)
+        b_parts.append(group_sum(bq, lb).T)  # (Nb, 9)
+    Mdiag = jnp.concatenate(md_parts, axis=0)  # (N, 9, 9)
+    b_sum = jnp.concatenate(b_parts, axis=0)  # (N, 9)
+    if ctx.cam_unperm is not None:
+        Mdiag = Mdiag[ctx.cam_unperm]
+        b_sum = b_sum[ctx.cam_unperm]
 
     # Assemble (same scatter-free placement as _schur_gram_pairs).
     O_ext = jnp.concatenate([O, jnp.zeros((81, 1), acc)], axis=1)
@@ -585,12 +668,18 @@ def build_context(
     Jc_pl = Jc.reshape(k_obs, 18).T.reshape(2, 9, k_obs)
     Jp_pl = Jp.reshape(k_obs, 6).T.reshape(2, 3, k_obs)
     f_pl = f.T.reshape(2, 1, k_obs)
-    M10 = planar_segment_gram(
-        jnp.concatenate([Jc_pl, f_pl], axis=1), problem.cam_obs_idx
-    )
-    M4 = planar_segment_gram(
-        jnp.concatenate([Jp_pl, f_pl], axis=1), problem.pt_obs_idx
-    )
+    pt_banded = getattr(problem, "pt_banded", None)
+    cam_banded = getattr(problem, "cam_banded", None)
+    Jc10 = jnp.concatenate([Jc_pl, f_pl], axis=1)
+    Jp4 = jnp.concatenate([Jp_pl, f_pl], axis=1)
+    if cam_banded is not None:
+        M10 = banded_planar_gram(Jc10, cam_banded)
+    else:
+        M10 = planar_segment_gram(Jc10, problem.cam_obs_idx)
+    if pt_banded is not None:
+        M4 = banded_planar_gram(Jp4, pt_banded)
+    else:
+        M4 = planar_segment_gram(Jp4, problem.pt_obs_idx)
     U, gc = M10[:, :9, :9], M10[:, :9, 9]
     V, gp = M4[:, :3, :3], M4[:, :3, 3]
     g_cams = -gc
@@ -642,10 +731,13 @@ def build_context(
         evecs = evecs64.astype(V.dtype)
         y0 = jnp.einsum("mji,mj->mi", evecs, g_pts)  # Q^T g per point
 
+    cam_unperm = None
     if camera_solver == "chol" and pairs is not None:
         # Cached pair-gram stacks: gather planar WQ into the pair / camera
         # tables ONCE per outer iteration (these gathers dominated the
-        # per-trial gram); trials only gather the 3 weight rows.
+        # per-trial gram); trials only gather the 3 weight rows. Stored in
+        # bf16 on TPU (see _stack_dtype — the MXU consumes bf16 regardless).
+        sd = _stack_dtype(mm)
         W27 = W.reshape(k_obs, 27).T  # comp 3i+j = W[k][i][j]
         Qg = evecs.reshape(m, 9).T[:, pt_idx]  # (9, K): comp 3j+c
         WQ27 = jnp.stack([
@@ -654,15 +746,26 @@ def build_context(
             + W27[3 * i + 2] * Qg[6 + c]
             for i in range(9)
             for c in range(3)
-        ]).astype(mm)
-        WQ_ext = jnp.concatenate([WQ27, jnp.zeros((27, 1), mm)], axis=1)
-        pairA = WQ_ext[:, pairs.row_a]  # (27, R, Lrow)
-        pairB = WQ_ext[:, pairs.row_b]
-        diagG = WQ_ext[:, problem.cam_obs_idx]  # (27, N, Lcam)
+        ]).astype(sd)
+        WQ_ext = jnp.concatenate([WQ27, jnp.zeros((27, 1), sd)], axis=1)
+        # FLAT (27, R*Lrow) stacks: a (27, R, 16) array tiles as (8, 128)
+        # with only 16 live lanes — 8x physical HBM footprint, and XLA
+        # relayout-copies it at every loop boundary (measured ~1.2 ms/iter).
+        # Flat keeps full tiles; trials reshape-reduce contiguous L-groups.
+        pairA = WQ_ext[:, pairs.row_a.reshape(-1)]  # (27, R*Lrow)
+        pairB = WQ_ext[:, pairs.row_b.reshape(-1)]
         # Static point-index companions, precomputed at load time (XLA does
         # not hoist their recomputation out of the outer LM while body).
         row_pt = pairs.row_pt
-        cam_pt = problem.cam_obs_pt
+        if cam_banded is not None:
+            diagG = tuple(
+                WQ_ext[:, t.reshape(-1)] for t in cam_banded.tables
+            )
+            cam_pt = cam_banded.aux
+            cam_unperm = cam_banded.unperm
+        else:
+            diagG = WQ_ext[:, problem.cam_obs_idx.reshape(-1)]  # (27, N*Lcam)
+            cam_pt = problem.cam_obs_pt
     elif point_factor == "eig":
         # Fallback eig coupling for problems without PairTables (e.g. the
         # sharded local views): blocky WQ feeds the chunked weighted gram.
@@ -689,6 +792,7 @@ def build_context(
         diagG=diagG,
         row_pt=row_pt,
         cam_pt=cam_pt,
+        cam_unperm=cam_unperm,
     )
 
 
@@ -873,9 +977,7 @@ def solve_damped(
         # eigenvalue-weight rows are gathered; the WQ stacks are reused.
         S, b = _pair_S_cached(ctx, lam, problem, n, mm)
         dxc = _camera_solve_chol(S, b).reshape(n, 9)
-        t = ctx.g_pts - table_segment_sum(
-            jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), problem.pt_obs_idx
-        )
+        t = ctx.g_pts - point_coupling_sum(ctx.W, dxc, cam_idx, problem)
         if point_factor == "eig":
             # Back-substitution in the eigenbasis.
             winv = 1.0 / (ctx.evals + lam)
@@ -903,9 +1005,7 @@ def solve_damped(
         b = ctx.g_cams.reshape(-1) - b_sum.astype(dtype)
         dxc = _camera_solve_chol(S, b).reshape(n, 9)
         # Back-substitution in the eigenbasis.
-        t = ctx.g_pts - table_segment_sum(
-            jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), problem.pt_obs_idx
-        )
+        t = ctx.g_pts - point_coupling_sum(ctx.W, dxc, cam_idx, problem)
         dxp = jnp.einsum(
             "mij,mj->mi", ctx.evecs, winv * jnp.einsum("mji,mj->mi", ctx.evecs, t)
         )
@@ -920,9 +1020,7 @@ def solve_damped(
         dxc = camera_solve_qr(ctx, lam, problem, Linv, mm_dtype=mm).reshape(n, 9)
 
     # Shared back-substitution: Vhat dx_p = g_p - sum_i W_i^T dx_c(i).
-    t = ctx.g_pts - table_segment_sum(
-        jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), problem.pt_obs_idx
-    )
+    t = ctx.g_pts - point_coupling_sum(ctx.W, dxc, cam_idx, problem)
     y = jnp.einsum("mij,mj->mi", Linv, t)
     dxp = jnp.einsum("mji,mj->mi", Linv, y)
     return dxp, dxc
@@ -1041,18 +1139,18 @@ def finish_camera_qr(R_reduced, lam, n_cameras: int):
 def gradient_dot(ctx: SchurContext, dxp, dxc, lam):
     """rhoScale = dx^T (lam dx + JtRes) (BacktrackLevMarqCholesky.h:300).
 
-    Accumulated to ~f64 quality: f64 reduces for f64 arrays; compensated
-    two-float dots for f32 arrays (a jnp.sum(dtype=f64) over M-sized f32 data
-    would force the emulated-f64 TPU path)."""
-    from bundleadjustment_benchmarks_tpu.ops import twofloat as tf
-
+    f64 reduces for f64 arrays; plain f32 dots for f32 arrays — both terms
+    of the denominator are positive (dx^T JtRes > 0 for a descent step), so
+    there is no cancellation and the ~1e-5 relative f32 dot error only
+    perturbs the Nielsen lambda heuristic noise-level. (The previous
+    compensated two-float dots cost ~0.3 ms per damping trial on
+    problem-21 for accuracy the accept decision never consumes.)"""
     acc = jnp.float64 if jax.config.jax_enable_x64 else dxc.dtype
 
     def dsum(a, b):
         if a.dtype == jnp.float64:
             return jnp.sum(a * b, dtype=acc)
-        e = tf.dot_f32(a, b)
-        return tf.to_f64(e) if acc == jnp.float64 else tf.to_f32(e)
+        return jnp.sum(a * b).astype(acc)
 
     jtres_dot = dsum(dxc, ctx.g_cams.astype(dxc.dtype)) + dsum(
         dxp, ctx.g_pts.astype(dxp.dtype)

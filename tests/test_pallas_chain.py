@@ -100,8 +100,8 @@ def test_padding_mask_excludes_fake_observations(prob, fast):
     f = projection.residuals(
         problem_mod.BAState(
             K=fast.K, R=fast.R, T=fast.T, k1=fast.k1, k2=fast.k2,
-            points=fast.points.hi.astype(jnp.float64)
-            + fast.points.lo.astype(jnp.float64),
+            points=fast.points.hi.T.astype(jnp.float64)
+            + fast.points.lo.T.astype(jnp.float64),
         ),
         prob.obs,
         prob.tau2,
