@@ -57,7 +57,16 @@ def _native_lib():
 
 
 def _tokenize(path: str) -> np.ndarray:
-    """Whitespace-tokenize a BAL text file into a flat float64 array."""
+    """Whitespace-tokenize a BAL text file into a flat float64 array.
+
+    ``.gz`` paths are transparently decompressed (the repo ships its
+    generated stand-ins for the reference's stripped large BAL blobs
+    gzipped; see utils/balgen.py)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            return np.array(f.read().split(), dtype=np.float64)
     lib = _native_lib()
     if lib is not None:
         size = os.path.getsize(path)
