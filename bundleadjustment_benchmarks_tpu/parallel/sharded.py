@@ -83,6 +83,9 @@ class ShardedProblem:
     obs_per_shard: int = dataclasses.field(metadata=dict(static=True))
     points_per_shard: int = dataclasses.field(metadata=dict(static=True))
     n_points_global: int = dataclasses.field(metadata=dict(static=True))
+    #: Global point index where each shard's contiguous chunk begins
+    #: (shards are balanced by OBSERVATION count, so chunks are uneven).
+    pt_starts: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     #: Per-shard observation-pair tables (PairTables leaves stacked along
     #: dim 0 and mesh-sharded; indices are shard-LOCAL, keys are global
     #: camera pairs) — pairs of a point live on its own shard because
@@ -103,10 +106,15 @@ class ShardedProblem:
 def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
     """Partition a BAProblem across ``mesh``'s first axis.
 
-    Points are split into D contiguous chunks (observations are point-sorted,
-    so each shard's observations are one contiguous slice); both are padded to
-    static per-shard sizes; sharded arrays get NamedShardings so each device
-    holds only its slice.
+    Points are split into D contiguous chunks balanced by OBSERVATION count
+    (observations are point-sorted, so each shard's observations are one
+    contiguous slice); both are padded to static per-shard sizes; sharded
+    arrays get NamedShardings so each device holds only its slice.
+
+    Host cost at pod scale: profiled at D=64 on problem-21, >97% of wall
+    time is XLA compiling the first-touch 64-way device_put programs
+    (one-time per process, persistent-cached); the per-shard numpy table
+    loops are ~0.5 s total — not worth vectorizing.
     """
     d = mesh.devices.size
     axis = mesh.axis_names[0]
@@ -115,14 +123,23 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
     meas = np.asarray(problem.obs.measurements)
     points = np.asarray(problem.state.points)
     m = problem.n_points
-    ms = -(-m // d)  # points per shard
+    k_total = len(pt_idx)
     lmax = problem.pt_obs_idx.shape[1]
     dtype = meas.dtype
 
-    # Shard boundaries in the observation stream.
-    pt_starts = np.arange(d) * ms
+    # Shard boundaries: balance by OBSERVATION count, not point count.
+    # Observations dominate per-shard work and padding (every shard pads to
+    # the max shard's K); equal-point contiguous chunks waste up to ~3x on
+    # BAL degree skew (measured 2.75x at D=64 on problem-21), equal-obs
+    # chunks keep the waste near 1x while points stay contiguous per shard.
+    cum = np.cumsum(np.bincount(pt_idx, minlength=m))  # obs up to point i
+    targets = (np.arange(1, d) * k_total) // d
+    pt_bounds = np.searchsorted(cum, targets, side="left") + 1
+    pt_starts = np.concatenate([[0], pt_bounds]).astype(np.int64)
+    pt_ends = np.append(pt_starts[1:], m)
+    ms = max(int((pt_ends - pt_starts).max()), 1)  # points per shard (padded)
     obs_starts = np.searchsorted(pt_idx, pt_starts)
-    obs_ends = np.append(obs_starts[1:], len(pt_idx))
+    obs_ends = np.append(obs_starts[1:], k_total)
     ks = int((obs_ends - obs_starts).max()) if d > 0 else 0
     ks = max(ks, 1)
 
@@ -142,8 +159,7 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
         ptl_sh[s, :nloc] = pt_idx[lo:hi] - pt_starts[s]
         meas_sh[s, :nloc] = meas[lo:hi]
         w_sh[s, :nloc] = 1.0
-        plo = s * ms
-        phi = min(plo + ms, m)
+        plo, phi = pt_starts[s], pt_ends[s]
         pts_sh[s, : phi - plo] = points[plo:phi]
         # Local per-point gather table from the local sorted pt indices.
         counts = np.bincount(ptl_sh[s, :nloc], minlength=ms)
@@ -250,6 +266,7 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
         obs_per_shard=ks,
         points_per_shard=ms,
         n_points_global=m,
+        pt_starts=tuple(int(x) for x in pt_starts),
         pairs=pairs,
         cam_obs_pt=put(cam_pt_sh.reshape(d * n_cams, lcam), P(axis)),
     )
@@ -550,5 +567,14 @@ def minimize_sharded(
 
 
 def unshard_points(sp: ShardedProblem, state: problem_mod.BAState) -> jax.Array:
-    """Recover the (M, 3) global point array from a sharded state."""
-    return state.points[: sp.n_points_global]
+    """Recover the (M, 3) global point array from a sharded state.
+
+    Shards hold uneven contiguous point chunks (obs-balanced split) padded
+    to points_per_shard; concatenate each shard's real slice."""
+    ms = sp.points_per_shard
+    starts = list(sp.pt_starts) or [0]
+    ends = starts[1:] + [sp.n_points_global]
+    pts = state.points
+    return jnp.concatenate(
+        [pts[s * ms : s * ms + (e - b)] for s, (b, e) in enumerate(zip(starts, ends))]
+    )

@@ -53,7 +53,7 @@ def test_sharded_prepare_matches_single(mesh8, mode):
     )
 
 
-@pytest.mark.parametrize("mode", ["cholesky", "qrkit"])
+@pytest.mark.parametrize("mode", ["cholesky", "qrchol", "moreqr", "qrkit"])
 def test_sharded_trial_matches_single(mesh8, mode):
     problem = make_synthetic_problem(n_cameras=4, n_points=30, obs_per_point=3, seed=2)
     sp = sharded.shard_problem(problem, mesh8)
@@ -76,6 +76,84 @@ def test_sharded_trial_matches_single(mesh8, mode):
     )
     np.testing.assert_allclose(
         np.asarray(x_sh.T), np.asarray(x.T), rtol=1e-7, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("mode", ["cholesky", "qrchol", "moreqr", "qrkit"])
+def test_sharded_trial_skewed_degrees(mesh8, mode):
+    """Skewed problem: camera 0 observes EVERY point (so one camera's
+    per-shard table row is full while others are nearly empty), plus
+    uneven per-point degrees. Exercises padding imbalance in
+    shard_problem and the banded/padded gather paths."""
+    import numpy as np
+
+    from bundleadjustment_benchmarks_tpu.utils.synthetic import (
+        make_synthetic_problem as _make,
+    )
+
+    problem = _make(n_cameras=5, n_points=40, obs_per_point=2, seed=11)
+    # Rebuild with camera 0 added to every point's observation list.
+    from bundleadjustment_benchmarks_tpu.io.bal import BalDataset
+    from bundleadjustment_benchmarks_tpu.models.problem import from_bal_dataset
+
+    obs = problem.obs
+    cam_idx = np.asarray(obs.cam_idx)
+    pt_idx = np.asarray(obs.pt_idx)
+    meas = np.asarray(obs.measurements)
+    extra_pts = np.arange(40, dtype=np.int32)
+    keep = cam_idx != 0
+    cam_idx = np.concatenate([cam_idx[keep], np.zeros(40, np.int32)])
+    pt_idx = np.concatenate([pt_idx[keep], extra_pts])
+    st = problem.state
+    # Synthesize measurements for the new rows by projecting current state.
+    from bundleadjustment_benchmarks_tpu.ops import projection
+
+    p0 = projection.project_affine(
+        st.K[np.zeros(40, int)], st.R[np.zeros(40, int)],
+        st.T[np.zeros(40, int)], st.k1[np.zeros(40, int)],
+        st.k2[np.zeros(40, int)], st.points[extra_pts],
+    )
+    meas = np.concatenate([meas[keep], np.asarray(p0) + 0.01])
+    order = np.argsort(pt_idx, kind="stable")
+    import jax.numpy as jnp
+
+    ds = BalDataset(
+        cam_idx=cam_idx[order], pt_idx=pt_idx[order],
+        measurements=meas[order],
+        omega=np.zeros((5, 3)), translation=np.asarray(st.T),
+        focal=-np.asarray(st.K[:, 0, 0]),
+        k1=np.zeros(5), k2=np.zeros(5),
+        points=np.asarray(st.points),
+    )
+    skew = from_bal_dataset(ds, dtype=jnp.float64)
+    # Overwrite state pieces that from_bal_dataset re-derives from BAL
+    # conventions (R from omega, K from focal, prescaled k1/k2) with the
+    # originals so the sharded and single paths see identical geometry.
+    import dataclasses
+
+    skew = dataclasses.replace(
+        skew,
+        state=dataclasses.replace(
+            skew.state, R=st.R, K=st.K, k1=st.k1, k2=st.k2
+        ),
+    )
+
+    sp = sharded.shard_problem(skew, mesh8)
+    prepare, trial = sharded.make_sharded_kernels(sp, mesh8, mode)
+    ctx_sh, energy_sh, _ = jax.jit(prepare)(sp.state)
+    lam = 0.05
+    x_sh, e_sh, rho_sh = jax.jit(trial)(ctx_sh, sp.state, lam)
+
+    from bundleadjustment_benchmarks_tpu.solvers.lm import _prepare, _trial
+
+    ctx, energy, _ = _prepare(skew.state, skew, mode)
+    x, e, rho = _trial(ctx, skew.state, lam, skew, mode)
+    np.testing.assert_allclose(float(energy_sh), float(energy), rtol=1e-12)
+    np.testing.assert_allclose(float(e_sh), float(e), rtol=1e-9)
+    np.testing.assert_allclose(float(rho_sh), float(rho), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(sharded.unshard_points(sp, x_sh)),
+        np.asarray(x.points), rtol=1e-7, atol=1e-10,
     )
 
 
