@@ -128,15 +128,21 @@ def _tiled_operands(fast, obs):
     return camg_t, ptsg_t, meas_t, k
 
 
-def _chain_call(kernel, n_out_rows, camg_t, ptsg_t, meas_t, k, tau2, interpret):
-    """Shared pallas_call plumbing for the chain kernels."""
+def _chain_call(kernel, n_out_rows, camg_t, ptsg_t, meas_t, k, tau2, interpret,
+                valid_count=None):
+    """Shared pallas_call plumbing for the chain kernels.
+
+    ``valid_count``: optional traced scalar overriding the static ``k`` in
+    the kernel's energy mask — the sharded path passes each shard's real
+    observation count so its padding suffix contributes zero energy (shapes
+    and output slicing still use the static k)."""
     if interpret is None:
         interpret = not available()  # CPU tests run the same kernels interpreted
     st = camg_t.shape[1]
     assert st % SUBLANES == 0, st
     grid = st // SUBLANES
     kpad = st * LANES
-    k_arr = jnp.full((1,), k, jnp.int32)
+    k_arr = jnp.full((1,), k if valid_count is None else valid_count, jnp.int32)
     tau2_arr = jnp.full((1,), tau2, jnp.float32)
 
     # Index maps must return int32 under jax_enable_x64: Mosaic cannot
@@ -197,7 +203,7 @@ def _meas_planar(obs):
     return obs.measurements.astype(jnp.float32).T
 
 
-def fused_blocks_energy(fast, obs, tau2, interpret=None):
+def fused_blocks_energy(fast, obs, tau2, interpret=None, valid_count=None):
     """One fused kernel pass: robustified residuals, Jacobian blocks, energy.
 
     Drop-in for (jacobian.residuals_and_jacobian_fast +
@@ -206,17 +212,18 @@ def fused_blocks_energy(fast, obs, tau2, interpret=None):
     camg_t, ptsg_t, meas_t, k = _tiled_operands(fast, obs)
     out, energy = _chain_call(
         _blocks_kernel, jacobian.PLANAR_CHAIN_ROWS,
-        camg_t, ptsg_t, meas_t, k, tau2, interpret,
+        camg_t, ptsg_t, meas_t, k, tau2, interpret, valid_count=valid_count,
     )
     return jacobian.blocks_from_planar_rows(out), energy
 
 
-def fused_energy(fast, obs, tau2, interpret=None):
+def fused_energy(fast, obs, tau2, interpret=None, valid_count=None):
     """One fused kernel pass for the trial objective (drop-in for
     projection.energy_fast)."""
     camg_t, ptsg_t, meas_t, k = _tiled_operands(fast, obs)
     _, energy = _chain_call(
-        _energy_kernel, 0, camg_t, ptsg_t, meas_t, k, tau2, interpret
+        _energy_kernel, 0, camg_t, ptsg_t, meas_t, k, tau2, interpret,
+        valid_count=valid_count,
     )
     return energy
 

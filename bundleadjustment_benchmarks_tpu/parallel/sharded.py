@@ -93,6 +93,10 @@ class ShardedProblem:
     #: falls back to the chunked gram.
     pairs: Optional[problem_mod.PairTables] = None
     cam_obs_pt: Optional[jax.Array] = None  # (D*N, Lcam) local pt, sent. Mp
+    #: (D,) int32 real-observation count per shard (the padding suffix mask
+    #: for the df32/Pallas kernels, which take it as the kernel's valid
+    #: count instead of multiplying K-sized weight masks).
+    obs_counts: Optional[jax.Array] = None
 
     @property
     def tau2(self) -> float:
@@ -267,6 +271,7 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
         points_per_shard=ms,
         n_points_global=m,
         pt_starts=tuple(int(x) for x in pt_starts),
+        obs_counts=put((obs_ends - obs_starts).astype(np.int32), P(axis)),
         pairs=pairs,
         cam_obs_pt=put(cam_pt_sh.reshape(d * n_cams, lcam), P(axis)),
     )
@@ -299,12 +304,19 @@ def _local_blocks(state_local, obs_local, tau2, compute_dtype=None):
 
 
 def make_sharded_kernels(
-    sp: ShardedProblem, mesh: Mesh, mode: str, matmul_dtype=None
+    sp: ShardedProblem, mesh: Mesh, mode: str, matmul_dtype=None,
+    geometry=None,
 ):
     """Build (prepare, trial) LM kernels whose heavy math runs under shard_map.
 
     Returned kernels have the signatures lm.lm_loop expects; ``state`` is a
-    BAState with replicated cameras and mesh-sharded points.
+    BAState with replicated cameras and mesh-sharded points — or, with
+    ``geometry='df32'``, a FastBAState with planar two-float points sharded
+    along the component axis (the TPU performance drive, composed with the
+    distributed Schur reduction; VERDICT round 1 item 4). The df32 kernels
+    run the fused Pallas chain per shard (interpreted off-TPU), passing each
+    shard's real-observation count as the kernel's valid-row scalar — shard
+    padding is a suffix, so it masks exactly.
     """
     axis = mesh.axis_names[0]
     n = sp.n_cameras
@@ -402,8 +414,9 @@ def make_sharded_kernels(
     )
 
     # ---- trial: local factors, psum'd reduced system, local back-sub. ----
-    def trial_body(ctx, state, lam, obs_local, table_local, cam_table_local,
-                   pairs_local=None):
+    def _solve_sharded(ctx, lam, obs_local, table_local, cam_table_local,
+                       pairs_local=None):
+        """Distributed damped solve -> (dxp local, dxc replicated)."""
         dtype = ctx.U.dtype
         lam = jnp.asarray(lam, dtype)
         view = local_view(obs_local, table_local, cam_table_local)
@@ -487,7 +500,29 @@ def make_sharded_kernels(
             )
             y2 = jnp.einsum("mij,mj->mi", Linv, t)
             dxp = jnp.einsum("mji,mj->mi", Linv, y2)
+        return dxp, dxc
 
+    def _rho_scale(ctx, lam, dxp, dxc):
+        # f32 arrays sum in f32 (both rho-denominator terms are positive for
+        # a descent step — no cancellation; a dtype=f64 reduce over M-sized
+        # f32 data would hit the emulated-f64 TPU path), then the psum'd
+        # scalars are combined in the accumulation dtype.
+        acc = projection.accumulation_dtype(ctx.U.dtype)
+        sd = ctx.U.dtype if ctx.U.dtype != jnp.float64 else acc
+        jtres_dot = jnp.sum(dxc * ctx.g_cams, dtype=sd).astype(acc) + jax.lax.psum(
+            jnp.sum(dxp * ctx.g_pts, dtype=sd), axis
+        ).astype(acc)
+        dx_norm2 = jnp.sum(dxc * dxc, dtype=sd).astype(acc) + jax.lax.psum(
+            jnp.sum(dxp * dxp, dtype=sd), axis
+        ).astype(acc)
+        return jnp.asarray(lam, acc) * dx_norm2 + jtres_dot
+
+    def trial_body(ctx, state, lam, obs_local, table_local, cam_table_local,
+                   pairs_local=None):
+        dtype = ctx.U.dtype
+        dxp, dxc = _solve_sharded(
+            ctx, lam, obs_local, table_local, cam_table_local, pairs_local
+        )
         x_test = problem_mod.apply_step(state, dxp, dxc)
         acc = projection.accumulation_dtype(dtype)
         e_test = jax.lax.psum(
@@ -497,14 +532,7 @@ def make_sharded_kernels(
             ),
             axis,
         )
-        jtres_dot = jnp.sum(dxc * ctx.g_cams, dtype=acc) + jax.lax.psum(
-            jnp.sum(dxp * ctx.g_pts, dtype=acc), axis
-        )
-        dx_norm2 = jnp.sum(dxc * dxc, dtype=acc) + jax.lax.psum(
-            jnp.sum(dxp * dxp, dtype=acc), axis
-        )
-        rho_scale = jnp.asarray(lam, acc) * dx_norm2 + jtres_dot
-        return x_test, e_test, rho_scale
+        return x_test, e_test, _rho_scale(ctx, lam, dxp, dxc)
 
     trial_in = (ctx_spec, state_spec, P(), obs_spec, P(axis), P(axis))
     if use_pairs:
@@ -516,6 +544,88 @@ def make_sharded_kernels(
         out_specs=(state_spec, P(), P()),
         check_vma=False,
     )
+
+    if geometry == "df32":
+        from bundleadjustment_benchmarks_tpu.ops import pallas_chain
+        from bundleadjustment_benchmarks_tpu.ops import twofloat as tf
+
+        fast_spec = problem_mod.FastBAState(
+            K=P(), R=P(), T=P(), k1=P(), k2=P(),
+            points=tf.DF(hi=P(None, axis), lo=P(None, axis)),
+        )
+
+        def fast_prepare_body(fast, obs_local, table_local, cam_table_local,
+                              kloc, pairs_local=None, cam_pt_local=None):
+            blocks, energy = pallas_chain.fused_blocks_energy(
+                fast, obs_local, tau2, valid_count=kloc[0]
+            )
+            energy = jax.lax.psum(energy, axis)
+            ctx = schur.build_context(
+                blocks,
+                local_view(obs_local, table_local, cam_table_local,
+                           pairs_local, cam_pt_local),
+                mode,
+                mm_dtype=mm,
+            )
+            U = jax.lax.psum(ctx.U, axis)
+            g_cams = jax.lax.psum(ctx.g_cams, axis)
+            max_colnorm_sq = jnp.maximum(
+                jnp.max(jnp.diagonal(U, axis1=-2, axis2=-1)),
+                jax.lax.pmax(
+                    jnp.max(jnp.diagonal(ctx.V, axis1=-2, axis2=-1)), axis
+                ),
+            )
+            ctx = dataclasses.replace(
+                ctx, U=U, g_cams=g_cams, max_colnorm_sq=max_colnorm_sq
+            )
+            lam0 = schur.initial_lambda(ctx, mode).astype(energy.dtype)
+            return ctx, energy, lam0
+
+        def fast_trial_body(ctx, fast, lam, obs_local, table_local,
+                            cam_table_local, kloc, pairs_local=None):
+            dxp, dxc = _solve_sharded(
+                ctx, jnp.asarray(lam, jnp.float32), obs_local, table_local,
+                cam_table_local, pairs_local,
+            )
+            x_test = problem_mod.apply_step_fast(fast, dxp, dxc)
+            e_test = jax.lax.psum(
+                pallas_chain.fused_energy(
+                    x_test, obs_local, tau2, valid_count=kloc[0]
+                ),
+                axis,
+            )
+            return x_test, e_test, _rho_scale(ctx, lam, dxp, dxc)
+
+        fprep_in = (fast_spec, obs_spec, P(axis), P(axis), P(axis))
+        ftrial_in = (ctx_spec, fast_spec, P(), obs_spec, P(axis), P(axis),
+                     P(axis))
+        if use_pairs:
+            fprep_in = fprep_in + (pairs_spec, P(axis))
+            ftrial_in = ftrial_in + (pairs_spec,)
+        fast_prepare_sm = shard_map(
+            fast_prepare_body, mesh=mesh, in_specs=fprep_in,
+            out_specs=(ctx_spec, P(), P()), check_vma=False,
+        )
+        fast_trial_sm = shard_map(
+            fast_trial_body, mesh=mesh, in_specs=ftrial_in,
+            out_specs=(fast_spec, P(), P()), check_vma=False,
+        )
+
+        def prepare_fast(fast):
+            args = (fast, sp.obs, sp.pt_obs_idx, sp.cam_obs_idx,
+                    sp.obs_counts)
+            if use_pairs:
+                args = args + (sp.pairs, sp.cam_obs_pt)
+            return fast_prepare_sm(*args)
+
+        def trial_fast(ctx, fast, lam):
+            args = (ctx, fast, jnp.asarray(lam), sp.obs, sp.pt_obs_idx,
+                    sp.cam_obs_idx, sp.obs_counts)
+            if use_pairs:
+                args = args + (sp.pairs,)
+            return fast_trial_sm(*args)
+
+        return prepare_fast, trial_fast
 
     def prepare(state):
         args = (state, sp.obs, sp.pt_obs_idx, sp.cam_obs_idx)
@@ -542,20 +652,28 @@ def minimize_sharded(
     """Distributed LM: same control flow as lm.minimize, sharded kernels."""
     config = config or lm_mod.LMConfig()
     prepare, trial = make_sharded_kernels(
-        sp, mesh, mode, matmul_dtype=config.matmul_dtype
+        sp, mesh, mode, matmul_dtype=config.matmul_dtype,
+        geometry=config.geometry,
     )
+    fast = config.geometry == "df32"
+    state0 = problem_mod.to_fast(sp.state) if fast else sp.state
+    dtype = sp.state.T.dtype
+
+    def finish(x):
+        return problem_mod.from_fast(x, dtype=dtype) if fast else x
+
     if config.drive == "host":
         prepare_j = jax.jit(prepare)
         trial_j = jax.jit(trial)
-        return lm_mod.host_loop(sp.state, prepare_j, trial_j, config)
+        res = lm_mod.host_loop(state0, prepare_j, trial_j, config)
+        return res._replace(state=finish(res.state))
 
     @jax.jit
-    def run(state0):
-        return lm_mod.lm_loop(
-            state0, prepare, trial, config, state0.T.dtype
-        )
+    def run(s0):
+        return lm_mod.lm_loop(s0, prepare, trial, config, dtype)
 
-    final = run(sp.state)
+    final = run(state0)
+    final = final._replace(x=finish(final.x))
     return lm_mod.LMResult(
         state=final.x,
         status=lm_mod.LMStatus(int(final.status)),

@@ -157,6 +157,96 @@ def test_sharded_trial_skewed_degrees(mesh8, mode):
     )
 
 
+@pytest.mark.parametrize("mode", ["cholesky", "qrchol", "moreqr", "qrkit"])
+def test_sharded_df32_matches_single_fast(mesh8, mode):
+    """The df32/Pallas drive composed with the distributed Schur path
+    (VERDICT round 1 item 4): sharded FastBAState, per-shard fused chain
+    with the shard's valid count masking the padding suffix."""
+    import jax.numpy as jnp
+
+    from bundleadjustment_benchmarks_tpu.models import problem as problem_mod
+    from bundleadjustment_benchmarks_tpu.solvers.lm import (
+        _prepare_fast,
+        _trial_fast,
+    )
+
+    # inlier_threshold=2.0: the smooth basin (conftest note) — the sharded
+    # and single paths use equivalent-but-differently-ordered f32 reductions
+    # (banded vs padded tables), and the rugged default-threshold landscape
+    # amplifies that rounding noise into plateau jumps.
+    problem = make_synthetic_problem(
+        n_cameras=4, n_points=30, obs_per_point=3, seed=2, inlier_threshold=2.0
+    )
+    sp = sharded.shard_problem(problem, mesh8)
+    prepare, trial = sharded.make_sharded_kernels(
+        sp, mesh8, mode, matmul_dtype="float32", geometry="df32"
+    )
+    fast_sh = problem_mod.to_fast(sp.state)
+    ctx_sh, energy_sh, lam0_sh = jax.jit(prepare)(fast_sh)
+
+    fast = problem_mod.to_fast(problem.state)
+    ctx, energy, lam0 = _prepare_fast(fast, problem, mode, "float32", pallas=True)
+    np.testing.assert_allclose(float(energy_sh), float(energy), rtol=1e-9)
+    np.testing.assert_allclose(float(lam0_sh), float(lam0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ctx_sh.U), np.asarray(ctx.U), rtol=1e-5, atol=1e-5
+    )
+
+    # Tolerances: the reduced camera system's conditioning multiplies the
+    # f32 psum-vs-flat-sum rounding difference of S into the step (~1e-3
+    # relative; measured). The EXACT distributed-reduction plumbing is
+    # pinned by the f64 tests above at 1e-9; this test pins the df32
+    # plumbing (valid-count masking — prepare energy at 1e-9 — fast state
+    # specs, pallas-in-shard_map) at f32-honest tolerances.
+    lam = 1.0
+    x_sh, e_sh, rho_sh = jax.jit(trial)(ctx_sh, fast_sh, lam)
+    x, e, rho = _trial_fast(ctx, fast, lam, problem, mode, "float32", pallas=True)
+    np.testing.assert_allclose(float(e_sh), float(e), rtol=2e-3)
+    assert float(e_sh) < float(energy_sh)  # the sharded step descends
+    np.testing.assert_allclose(float(rho_sh), float(rho), rtol=2e-3)
+    pts_sh = sharded.unshard_points(
+        sp,
+        problem_mod.BAState(
+            K=x_sh.K, R=x_sh.R, T=x_sh.T, k1=x_sh.k1, k2=x_sh.k2,
+            points=(x_sh.points.hi.astype(jnp.float64)
+                    + x_sh.points.lo.astype(jnp.float64)).T,
+        ),
+    )
+    pts = (x.points.hi.astype(jnp.float64) + x.points.lo.astype(jnp.float64)).T
+    np.testing.assert_allclose(
+        np.asarray(pts_sh), np.asarray(pts), rtol=5e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_sh.T), np.asarray(x.T), rtol=5e-3, atol=1e-6
+    )
+
+
+def test_sharded_df32_minimize_descends(mesh8):
+    # inlier_threshold=2.0 for a smooth deterministic basin (conftest note);
+    # f32 step noise compounds over iterations, so the check is that both
+    # drives descend into the same basin, not identical trajectories.
+    problem = make_synthetic_problem(
+        n_cameras=4, n_points=24, obs_per_point=3, seed=3, inlier_threshold=2.0
+    )
+    sp = sharded.shard_problem(problem, mesh8)
+    cfg = lm.LMConfig(drive="jit", max_iter=10, geometry="df32",
+                      matmul_dtype="float32")
+    res_sh = sharded.minimize_sharded(sp, mesh8, mode="cholesky", config=cfg)
+    res = lm.minimize(problem, mode="cholesky", config=cfg)
+    assert np.isfinite(res_sh.energy)
+    # Both reach the measurement-noise floor (~72 obs * (5e-3)^2); exact
+    # floor values differ in f32 trajectory noise.
+    from bundleadjustment_benchmarks_tpu.models import problem as problem_mod
+    from bundleadjustment_benchmarks_tpu.solvers.lm import _prepare_fast
+
+    _, e0, _ = _prepare_fast(
+        problem_mod.to_fast(problem.state), problem, "cholesky", "float32",
+        pallas=True,
+    )
+    assert res_sh.energy < 0.02 * float(e0)
+    assert res.energy < 0.02 * float(e0)
+
+
 def test_sharded_minimize_matches_single(mesh8):
     problem = make_synthetic_problem(n_cameras=4, n_points=24, obs_per_point=3, seed=3)
     sp = sharded.shard_problem(problem, mesh8)
