@@ -51,6 +51,26 @@ def build_parser() -> argparse.ArgumentParser:
         "on observation-sized data — the TPU performance path)",
     )
     p.add_argument(
+        "--precision",
+        default=None,
+        choices=["f64", "mixed", "f32"],
+        help="precision preset overriding --dtype/--geometry: 'f64' = "
+        "everything f64 (reference Scalar=double); 'mixed' = f64 state + "
+        "df32 geometry + f32 Schur matmuls (the TPU performance recipe); "
+        "'f32' = PURE f32 everywhere, x64 disabled (reference Scalar=float "
+        "— measurably fails to reach the f64 basin on BAL data; see "
+        "BASELINE.md precision sweep)",
+    )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="shard observations/points over this many devices "
+        "(jax.sharding.Mesh + shard_map distributed Schur reduction); "
+        "0 = single device. Needs >= that many JAX devices (real chips, "
+        "or XLA_FLAGS=--xla_force_host_platform_device_count=N on CPU)",
+    )
+    p.add_argument(
         "--drive",
         default="host",
         choices=["host", "jit"],
@@ -111,12 +131,31 @@ def main(argv=None) -> int:
     )
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    # x64 always on. --dtype f64 = everything f64. --dtype f32 = MIXED
-    # precision: state/geometry/small reductions stay f64 (BAL far-field
-    # points make R X + T catastrophically cancel in f32 — pure f32 cannot
-    # even evaluate the energy to pixel accuracy), while the big Schur
-    # matmuls (the O(M N^2) FLOPs) run on the MXU in f32.
-    jax.config.update("jax_enable_x64", True)
+    # Precision model. Default (--dtype): x64 on; f64 = everything f64;
+    # f32 = MIXED precision — state/geometry/small reductions stay f64 (BAL
+    # far-field points make R X + T catastrophically cancel in f32 — pure
+    # f32 cannot even evaluate the energy to pixel accuracy), while the big
+    # Schur matmuls (the O(M N^2) FLOPs) run on the MXU in f32.
+    # --precision overrides with three explicit sweep points (BASELINE.json
+    # config 4): f64 / mixed (f64 state + df32 geometry + f32 matmuls) /
+    # PURE f32 (x64 disabled — the reference's Scalar=float build).
+    geometry = None if args.geometry == "state" else args.geometry
+    state_dtype_name = "float64"
+    if args.precision == "f32":
+        jax.config.update("jax_enable_x64", False)
+        matmul_dtype = None
+        geometry = None
+        state_dtype_name = "float32"
+    else:
+        jax.config.update("jax_enable_x64", True)
+        if args.precision == "f64":
+            matmul_dtype = None
+            geometry = None
+        elif args.precision == "mixed":
+            matmul_dtype = "float32"
+            geometry = "df32"
+        else:
+            matmul_dtype = None if args.dtype == "f64" else "float32"
     import jax.numpy as jnp
 
     from bundleadjustment_benchmarks_tpu.models.problem import load_bal_problem
@@ -126,11 +165,10 @@ def main(argv=None) -> int:
     log = logger.create_logger(args.log_file)
     log.log(logger.INFO, "Computation STARTED!")
 
-    matmul_dtype = None if args.dtype == "f64" else "float32"
     try:
         problem = load_bal_problem(
             args.problem,
-            dtype=jnp.float64,
+            dtype=jnp.dtype(state_dtype_name),
             inlier_threshold=args.inlier_threshold,
             avg_focal_length=AVG_FOCAL_LENGTH,
         )
@@ -157,31 +195,45 @@ def main(argv=None) -> int:
         drive=args.drive,
         discard_final_step=not args.keep_final_step,
         matmul_dtype=matmul_dtype,
-        geometry=None if args.geometry == "state" else args.geometry,
+        geometry=geometry,
     )
-    def run():
-        if (args.checkpoint or args.metrics) and args.drive == "host":
-            import os as _os
 
-            from bundleadjustment_benchmarks_tpu.solvers.lm import _prepare, _trial
+    def run():
+        if args.shards:
+            from bundleadjustment_benchmarks_tpu.parallel import sharded
+
+            if len(jax.devices()) < args.shards:
+                print(
+                    f"--shards {args.shards} needs that many JAX devices; "
+                    f"found {len(jax.devices())} "
+                    "(hint: XLA_FLAGS=--xla_force_host_platform_device_count=N"
+                    " JAX_PLATFORMS=cpu for a virtual mesh)",
+                    file=sys.stderr,
+                )
+                raise SystemExit(RETURN_WRONG_INPUT_PARAMS)
+            mesh = sharded.make_mesh(args.shards)
+            sp = sharded.shard_problem(problem, mesh)
+            res = sharded.minimize_sharded(sp, mesh, mode=args.solver, config=cfg)
+            import dataclasses as _dc
+
+            full_state = _dc.replace(
+                res.state, points=sharded.unshard_points(sp, res.state)
+            )
+            return res._replace(state=full_state)
+
+        state, resume = problem.state, None
+        if args.checkpoint and os.path.exists(args.checkpoint):
             from bundleadjustment_benchmarks_tpu.utils import checkpoint as ckpt
 
-            state, resume = problem.state, None
-            if args.checkpoint and _os.path.exists(args.checkpoint):
-                state, resume = ckpt.load_checkpoint(args.checkpoint)
-                print(f"Resuming from {args.checkpoint} "
-                      f"(iteration {resume['iteration']})")
-            prep = lambda s: _prepare(s, problem, args.solver, matmul_dtype)  # noqa: E731
-            tri = lambda c, s, la: _trial(  # noqa: E731
-                c, s, la, problem, args.solver, matmul_dtype
-            )
-            return lm.host_loop(
-                state, prep, tri, cfg, resume=resume,
-                checkpoint_every=args.checkpoint_every,
-                checkpoint_path=args.checkpoint,
-                metrics_path=args.metrics,
-            )
-        return lm.minimize(problem, mode=args.solver, config=cfg)
+            state, resume = ckpt.load_checkpoint(args.checkpoint)
+            print(f"Resuming from {args.checkpoint} "
+                  f"(iteration {resume['iteration']})")
+        return lm.minimize(
+            problem, mode=args.solver, config=cfg, state=state, resume=resume,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every if args.checkpoint else 0,
+            metrics_path=args.metrics,
+        )
 
     begin = time.perf_counter()
     if args.profile_dir:

@@ -427,7 +427,10 @@ def from_bal_dataset(
     k1 = ds.k1 * f_raw**2
     k2 = ds.k2 * f_raw**4
 
-    R = np.asarray(rodrigues.exp_rodrigues(jnp.asarray(ds.omega, dtype=jnp.float64)))
+    # Rotation init in the widest available dtype (f32 when x64 is off —
+    # the pure-f32 sweep point intentionally runs everything in f32).
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    R = np.asarray(rodrigues.exp_rodrigues(jnp.asarray(ds.omega, dtype=wide)))
 
     state = BAState(
         K=jnp.asarray(K, dtype),

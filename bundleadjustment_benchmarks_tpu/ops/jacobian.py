@@ -153,17 +153,31 @@ def planar_blocks_chain(camg, ptsg, m0, m1, tau2):
     # Robust outer 2x2 (BAFunctor.h:227-242), expanded:
     # out[i][j] = cr * r_i r_j + cd * delta_ij with
     #   cr = (W/2 * psi^-1/2 - sqrt(psi)/r^2) / |r|, cd = sqrt(psi)/r^2 * |r|.
+    # STABLE CLOSED FORM (f32-critical): the reference's cr is a difference
+    # of two nearly-equal O(rn2^-1/2) terms that cancels CATASTROPHICALLY for
+    # small residuals — in f32 it corrupted ~34% of Jacobian entries near
+    # convergence (measured cos(g_f32, g_f64) = -0.35 at the LM plateau,
+    # stalling the df32 drive ~2% above the f64 basin). Substituting
+    # psi = rn2 (2 - u)/4, W = 1 - u with u = rn2/tau2 gives exactly
+    #   inlier  (rn2 <  tau2): cr = -1/(2 tau2 sqrt(2-u)), cd = sqrt(2-u)/2
+    #   outlier (rn2 >= tau2): cr = -tau/(2 rn2^{3/2}),    cd = tau/(2 |r|)
+    # (same values as BAFunctor.h:227-242 for every r != 0, no cancellation,
+    # no eps guards; at r == 0 this is the true limit sqrt(1/2) I where the
+    # reference's guarded expression degenerates to 0 — measure-zero event).
     tau2f = jnp.asarray(tau2, jnp.float32)
-    eps = jnp.asarray(robust.EPS_PSI_RESIDUAL, jnp.float32)
     rn2 = r0 * r0 + r1 * r1
-    Wpsi = robust.psi_weight(tau2f, rn2)
-    sqrt_psi = jnp.sqrt(robust.psi(tau2f, rn2))
-    rsqrt_psi = 1.0 / jnp.maximum(eps, sqrt_psi)
-    rcp_r2 = 1.0 / jnp.maximum(eps, rn2)
-    rnorm = jnp.sqrt(rn2)
-    rnorm_inv = 1.0 / jnp.maximum(eps, rnorm)
-    cr = (Wpsi / 2.0 * rsqrt_psi - sqrt_psi * rcp_r2) * rnorm_inv
-    cd = sqrt_psi * rcp_r2 * rnorm
+    u = rn2 / tau2f
+    inl = rn2 < tau2f
+    tau = jnp.sqrt(tau2f)
+    som = jnp.sqrt(jnp.maximum(2.0 - u, 0.0))  # inlier-only: 2-u in (1, 2]
+    rn2_out = jnp.maximum(rn2, tau2f)  # exact on the outlier branch
+    rnorm_out = jnp.sqrt(rn2_out)
+    cr = jnp.where(
+        inl,
+        -1.0 / (2.0 * tau2f * jnp.maximum(som, 1.0)),
+        -tau / (2.0 * rn2_out * rnorm_out),
+    )
+    cd = jnp.where(inl, som / 2.0, tau / (2.0 * rnorm_out))
     o00 = cr * r0 * r0 + cd
     o01 = cr * r0 * r1
     o11 = cr * r1 * r1 + cd
@@ -176,8 +190,9 @@ def planar_blocks_chain(camg, ptsg, m0, m1, tau2):
 
     jc = rob(jc)
     jp = rob(jp)
-    s = sqrt_psi * rnorm_inv  # residual scale (robust.robust_scale)
-    f0, f1 = r0 * s, r1 * s
+    # Residual scale s = sqrt(psi)/|r| == cd exactly (both branches); the
+    # stable form keeps f consistent with the Jacobian's outer factor.
+    f0, f1 = r0 * cd, r1 * cd
     return [f0, f1] + jc[0] + jc[1] + jp[0] + jp[1]
 
 

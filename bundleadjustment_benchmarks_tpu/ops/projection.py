@@ -244,11 +244,17 @@ def planar_energy_df(camg, XX, m0, m1, tau2) -> tf.DF:
     r0, r1, *_ = planar_residual_comps(camg, XX, m0, m1)
     rn2 = r0 * r0 + r1 * r1
     tau2f = jnp.asarray(tau2, jnp.float32)
-    sqrt_psi = jnp.sqrt(robust.psi(tau2f, rn2))
-    rnorm = jnp.maximum(
-        jnp.asarray(robust.EPS_PSI_RESIDUAL, jnp.float32), jnp.sqrt(rn2)
+    # Stable residual scale s = sqrt(psi)/|r|, closed per branch (see the
+    # planar_blocks_chain robust-outer derivation — same formula, so the
+    # fast energy is EXACTLY the objective whose derivative the fast
+    # Jacobian computes): inlier sqrt(2 - rn2/tau2)/2, outlier tau/(2 |r|).
+    u = rn2 / tau2f
+    rn2_out = jnp.maximum(rn2, tau2f)
+    s = jnp.where(
+        rn2 < tau2f,
+        jnp.sqrt(jnp.maximum(2.0 - u, 0.0)) / 2.0,
+        jnp.sqrt(tau2f) / (2.0 * jnp.sqrt(rn2_out)),
     )
-    s = sqrt_psi / rnorm
     return tf.add(tf.prod_ff(r0 * s, r0 * s), tf.prod_ff(r1 * s, r1 * s))
 
 

@@ -104,6 +104,11 @@ class LMConfig:
     pallas: Optional[bool] = None
     #: History depth of the flatline test (BacktrackLevMarqCholesky.h:150).
     energy_history_size: int = 2
+    #: Outer iterations per dispatch of the chunked jit drive (the
+    #: observability path: drive='jit' with verbose/checkpoint/metrics runs
+    #: N iterations per XLA call and emits the reference table between
+    #: chunks — jit-loop speed, host-loop introspection).
+    chunk_size: int = 16
 
     def use_pallas(self) -> bool:
         if self.geometry != "df32":
@@ -232,15 +237,30 @@ class _OuterState(NamedTuple):
     energy: jax.Array
 
 
-def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
-    """The traced LM loop; call inside jit with closed-over kernels.
+class _IterRecord(NamedTuple):
+    """Per-outer-iteration observables for the chunked jit drive.
+
+    Enough to reconstruct the reference's per-TRIAL verbose table rows
+    (BacktrackLevMarqCholesky.h:53-81) on the host: rejected-trial lambdas
+    follow deterministically from (lam0, lam_inc0) via the nu^1.5 growth."""
+
+    f: jax.Array  # pre-accept energy at this iteration
+    rho: jax.Array  # gain ratio of the final (accepting) trial
+    lam0: jax.Array  # lambda of the first trial this iteration
+    lam_inc0: jax.Array  # growth factor at iteration start
+    lam_out: jax.Array  # lambda after accept/final reject
+    n_trials: jax.Array  # damping trials this iteration
+    accepted: jax.Array  # bool
+
+
+def _make_outer(prepare, trial, config: LMConfig, dtype):
+    """Build (outer_cond, outer_step) shared by the whole-run jit loop and
+    the chunked observable drive. ``outer_step`` returns the new state plus
+    an _IterRecord of this iteration.
 
     LM scalars (lambda, nu, energy history) live in the accumulation dtype:
     f64 under x64 even for f32 array storage, so accept/flatline decisions
     keep full precision (mixed-precision recipe, SURVEY.md section 7)."""
-    from bundleadjustment_benchmarks_tpu.ops.projection import accumulation_dtype
-
-    dtype = accumulation_dtype(dtype)
     running = jnp.int32(int(LMStatus.Running))
 
     # The top-of-iteration stop checks (BacktrackLevMarqCholesky.h:229-237)
@@ -261,18 +281,18 @@ def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
             ),
         )
 
-    def outer_body(st: _OuterState):
+    def outer_step(st: _OuterState):
         it = st.it + 1
         ctx, energy, lam0_rule = prepare(st.x)
         fun_evals = st.fun_evals + 1
         lam0 = jnp.where(it == 1, lam0_rule, st.lam)
 
         def inner_cond(c):
-            _, _, _, accepted, stop, _ = c
+            _, _, _, _, accepted, stop, _ = c
             return jnp.logical_not(jnp.logical_or(accepted, stop))
 
         def inner_body(c):
-            lam, lam_inc, (x_test, e_test), _, _, fe = c
+            lam, lam_inc, _, (x_test, e_test), _, _, fe = c
             x_t, e_t, rho_scale = trial(ctx, st.x, lam)
             fe = fe + 1
             accepted = e_t < energy
@@ -299,17 +319,18 @@ def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
                 jnp.asarray(config.lambda_increase_base, dtype),
                 jnp.where(grow, lam_inc**1.5, lam_inc),
             )
-            return (lam_new, lam_inc_new, (x_t, e_t), accepted, stop, fe)
+            return (lam_new, lam_inc_new, rho, (x_t, e_t), accepted, stop, fe)
 
         init = (
             lam0,
             st.lam_inc,
+            jnp.asarray(0.0, dtype),
             (st.x, energy),
             jnp.asarray(False),
             jnp.asarray(False),
             fun_evals,
         )
-        lam, lam_inc, (x_test, e_test), accepted, stop, fun_evals = (
+        lam, lam_inc, rho, (x_test, e_test), accepted, stop, fun_evals = (
             jax.lax.while_loop(inner_cond, inner_body, init)
         )
 
@@ -338,6 +359,15 @@ def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
         x_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(advance, b, a), st.x, x_test
         )
+        record = _IterRecord(
+            f=energy,
+            rho=rho,
+            lam0=lam0,
+            lam_inc0=st.lam_inc,
+            lam_out=lam,
+            n_trials=(fun_evals - st.fun_evals - 1).astype(jnp.int32),
+            accepted=accepted,
+        )
         return _OuterState(
             x=x_new,
             lam=lam,
@@ -347,21 +377,40 @@ def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
             hist=hist,
             status=status2,
             energy=new_energy,
-        )
+        ), record
 
-    init = _OuterState(
+    return outer_cond, outer_step
+
+
+def _init_outer_state(state0, config: LMConfig, dtype, resume=None):
+    st = _OuterState(
         x=state0,
         lam=jnp.asarray(config.lambda_init, dtype),
         lam_inc=jnp.asarray(config.lambda_increase_base, dtype),
         it=jnp.int32(0),
         fun_evals=jnp.int32(0),
         hist=jnp.zeros((config.energy_history_size,), dtype),
-        status=running,
+        status=jnp.int32(int(LMStatus.Running)),
         energy=jnp.asarray(jnp.inf, dtype),
     )
-    final = jax.lax.while_loop(outer_cond, outer_body, init)
-    # Reconstruct the reference's top-of-iteration stop bookkeeping: it
-    # increments the counter and sets the status WITHOUT doing work.
+    if resume:
+        hist = list(resume.get("energy_history", []))[
+            : config.energy_history_size
+        ]
+        hist += [0.0] * (config.energy_history_size - len(hist))
+        st = st._replace(
+            lam=jnp.asarray(float(resume.get("lam", config.lambda_init)), dtype),
+            it=jnp.int32(int(resume.get("iteration", 0))),
+            fun_evals=jnp.int32(int(resume.get("fun_evals", 0))),
+            hist=jnp.asarray(hist, dtype),
+        )
+    return st
+
+
+def _finalize_limits(final: _OuterState, config: LMConfig):
+    """Reconstruct the reference's top-of-iteration stop bookkeeping: it
+    increments the counter and sets the status WITHOUT doing work."""
+    running = jnp.int32(int(LMStatus.Running))
     hit_limit = final.status == running
     status = jnp.where(
         hit_limit,
@@ -375,6 +424,22 @@ def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
     return final._replace(
         it=jnp.where(hit_limit, final.it + 1, final.it), status=status
     )
+
+
+def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
+    """The traced LM loop; call inside jit with closed-over kernels."""
+    from bundleadjustment_benchmarks_tpu.ops.projection import accumulation_dtype
+
+    dtype = accumulation_dtype(dtype)
+    outer_cond, outer_step = _make_outer(prepare, trial, config, dtype)
+
+    def outer_body(st):
+        new_st, _ = outer_step(st)
+        return new_st
+
+    init = _init_outer_state(state0, config, dtype)
+    final = jax.lax.while_loop(outer_cond, outer_body, init)
+    return _finalize_limits(final, config)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "config"))
@@ -396,6 +461,171 @@ def _minimize_jit(state0, problem, mode: str, config: LMConfig):
         ctx, s, lam, problem, mode, config.matmul_dtype
     )
     return lm_loop(state0, prepare, trial, config, dtype)
+
+
+# ----------------------------------------------------------------------------
+# Chunked jit drive: N outer iterations per dispatch, host emits the verbose
+# table / checkpoints / metrics between chunks (VERDICT round 1, item 7 —
+# per-iteration observability without leaving the compiled loop).
+# ----------------------------------------------------------------------------
+
+
+def _make_kernels(problem, mode: str, config: LMConfig):
+    """(prepare, trial, is_fast) closures per the config's geometry drive."""
+    if config.geometry == "df32":
+        use_pl = config.use_pallas()
+        prepare = lambda s: _prepare_fast(  # noqa: E731
+            s, problem, mode, config.matmul_dtype, pallas=use_pl
+        )
+        trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
+            ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl
+        )
+        return prepare, trial, True
+    prepare = lambda s: _prepare(s, problem, mode, config.matmul_dtype)  # noqa: E731
+    trial = lambda ctx, s, lam: _trial(  # noqa: E731
+        ctx, s, lam, problem, mode, config.matmul_dtype
+    )
+    return prepare, trial, False
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "config"))
+def _run_chunk_jit(st: _OuterState, problem, mode: str, config: LMConfig):
+    """Run up to config.chunk_size outer LM iterations, recording per-
+    iteration observables (_IterRecord) into a (chunk,) buffer."""
+    prepare, trial, _ = _make_kernels(problem, mode, config)
+    dtype = st.energy.dtype
+    outer_cond, outer_step = _make_outer(prepare, trial, config, dtype)
+    chunk = config.chunk_size
+    it_start = st.it
+
+    def cond(c):
+        s, _ = c
+        return jnp.logical_and(outer_cond(s), s.it < it_start + chunk)
+
+    def body(c):
+        s, recs = c
+        new_s, rec = outer_step(s)
+        idx = s.it - it_start
+        recs = jax.tree_util.tree_map(
+            lambda buf, v: buf.at[idx].set(v), recs, rec
+        )
+        return new_s, recs
+
+    recs0 = _IterRecord(
+        f=jnp.zeros((chunk,), dtype),
+        rho=jnp.zeros((chunk,), dtype),
+        lam0=jnp.zeros((chunk,), dtype),
+        lam_inc0=jnp.zeros((chunk,), dtype),
+        lam_out=jnp.zeros((chunk,), dtype),
+        n_trials=jnp.zeros((chunk,), jnp.int32),
+        accepted=jnp.zeros((chunk,), bool),
+    )
+    return jax.lax.while_loop(cond, body, (st, recs0))
+
+
+def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 0,
+                 metrics_path: Optional[str] = None):
+    """jit-drive LM with host-side observability between chunks.
+
+    Each dispatch runs up to ``config.chunk_size`` outer iterations inside
+    one XLA computation; between dispatches the host reconstructs the
+    reference's per-trial verbose table (BacktrackLevMarqCholesky.h:53-81 —
+    rejected-trial lambdas replay exactly from (lam0, nu0) via the nu^1.5
+    growth law), appends JSONL metrics, and checkpoints. Elapsed is the
+    amortized per-trial device+dispatch time of the chunk."""
+    from bundleadjustment_benchmarks_tpu.ops.projection import accumulation_dtype
+
+    _, _, is_fast = _make_kernels(problem, mode, config)
+    x0 = problem_mod.to_fast(state0) if is_fast else state0
+    dtype = accumulation_dtype(state0.T.dtype)
+    st = _init_outer_state(x0, config, dtype, resume=resume)
+
+    if config.verbose:
+        _output_header()
+        _output_iter_header()
+    metrics_f = open(metrics_path, "a") if metrics_path else None
+
+    def emit(it_, status_, f_, rho_, lam_, elapsed_):
+        if metrics_f:
+            import json as _json
+
+            metrics_f.write(_json.dumps({
+                "iter": it_, "status": status_, "f": f_, "rho": rho_,
+                "lambda": lam_, "elapsed_s": elapsed_,
+            }) + "\n")
+            metrics_f.flush()
+
+    next_ckpt = None
+    if checkpoint_every and checkpoint_path:
+        next_ckpt = (int(st.it) // checkpoint_every + 1) * checkpoint_every
+
+    while True:
+        t0 = time.perf_counter()
+        it_before = int(st.it)
+        st, recs = _run_chunk_jit(st, problem, mode, config)
+        status_i, it_i, fe_i = jax.device_get((st.status, st.it, st.fun_evals))
+        chunk_wall = time.perf_counter() - t0
+        n_done = int(it_i) - it_before
+        if n_done > 0:
+            recs_h = jax.device_get(recs)
+            total_trials = max(1, int(recs_h.n_trials[:n_done].sum()))
+            per_trial = chunk_wall / total_trials
+            for i in range(n_done):
+                it_ = it_before + i + 1
+                f_ = float(recs_h.f[i])
+                lam = float(recs_h.lam0[i])
+                inc = float(recs_h.lam_inc0[i])
+                acc_ = bool(recs_h.accepted[i])
+                ntr = int(recs_h.n_trials[i])
+                for _ in range(ntr - (1 if acc_ else 0)):
+                    if config.verbose:
+                        _output_iter(it_, "Rejected", f_, 0.0, lam, per_trial)
+                    emit(it_, "Rejected", f_, 0.0, lam, per_trial)
+                    lam *= inc
+                    inc = inc**1.5
+                if acc_:
+                    rho_ = float(recs_h.rho[i])
+                    lam_ = float(recs_h.lam_out[i])
+                    if config.verbose:
+                        _output_iter(it_, "Accepted", f_, rho_, lam_, per_trial)
+                    emit(it_, "Accepted", f_, rho_, lam_, per_trial)
+
+        if next_ckpt is not None and int(it_i) >= next_ckpt:
+            from bundleadjustment_benchmarks_tpu.utils import checkpoint as _ckpt
+
+            x_save = problem_mod.from_fast(st.x) if is_fast else st.x
+            _ckpt.save_checkpoint(
+                checkpoint_path, x_save, lam=float(st.lam),
+                iteration=int(it_i), fun_evals=int(fe_i),
+                energy_history=[float(h) for h in jax.device_get(st.hist)],
+            )
+            next_ckpt = (int(it_i) // checkpoint_every + 1) * checkpoint_every
+
+        if int(status_i) != int(LMStatus.Running):
+            break
+        if int(it_i) + 1 > config.max_iter or int(fe_i) > config.max_fun_ev:
+            break
+
+    if config.verbose:
+        print("-" * 80)
+    if metrics_f:
+        metrics_f.close()
+
+    final = _finalize_limits(st, config)
+    x = problem_mod.from_fast(final.x, dtype=state0.T.dtype) if is_fast else final.x
+    status, it, fun_evals, energy, lam = jax.device_get(
+        (final.status, final.it, final.fun_evals, final.energy, final.lam)
+    )
+    return LMResult(
+        state=x,
+        status=LMStatus(int(status)),
+        iterations=int(it),
+        fun_evals=int(fun_evals),
+        energy=float(energy),
+        lam=float(lam),
+    )
 
 
 # ----------------------------------------------------------------------------
@@ -522,8 +752,11 @@ def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
         if checkpoint_every and checkpoint_path and it % checkpoint_every == 0:
             from bundleadjustment_benchmarks_tpu.utils import checkpoint as _ckpt
 
+            x_save = x_test
+            if isinstance(x_save, problem_mod.FastBAState):
+                x_save = problem_mod.from_fast(x_save)
             _ckpt.save_checkpoint(
-                checkpoint_path, x_test, lam=lam, iteration=it,
+                checkpoint_path, x_save, lam=lam, iteration=it,
                 fun_evals=fun_evals, energy_history=hist,
             )
 
@@ -556,32 +789,43 @@ def minimize(
     mode: str = "cholesky",
     config: Optional[LMConfig] = None,
     state: Optional[problem_mod.BAState] = None,
+    resume=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    metrics_path: Optional[str] = None,
 ) -> LMResult:
     """Run LM on a BA problem. ``mode`` selects the solver strategy
     (cholesky/qrchol/qrkit/moreqr/spqr), replacing the reference's five
-    compile-time binaries with a runtime flag (README.md:7-18)."""
+    compile-time binaries with a runtime flag (README.md:7-18).
+
+    ``resume``/``checkpoint_path``/``checkpoint_every``/``metrics_path``
+    enable the observability path in either drive: the host drive threads
+    them through host_loop; the jit drive switches to the chunked loop
+    (N iterations per dispatch, table/checkpoint/metrics between chunks)."""
     if mode not in schur.MODES:
         raise ValueError(f"unknown mode {mode!r}; expected one of {schur.MODES}")
     config = config or LMConfig()
     state = state if state is not None else problem.state
 
     if config.drive == "host":
-        if config.geometry == "df32":
-            fast = problem_mod.to_fast(state)
-            use_pl = config.use_pallas()
-            prepare = lambda s: _prepare_fast(  # noqa: E731
-                s, problem, mode, config.matmul_dtype, pallas=use_pl
-            )
-            trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
-                ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl
-            )
-            res = host_loop(fast, prepare, trial, config)
-            return res._replace(state=problem_mod.from_fast(res.state))
-        prepare = lambda s: _prepare(s, problem, mode, config.matmul_dtype)  # noqa: E731
-        trial = lambda ctx, s, lam: _trial(  # noqa: E731
-            ctx, s, lam, problem, mode, config.matmul_dtype
+        prepare, trial, is_fast = _make_kernels(problem, mode, config)
+        x0 = problem_mod.to_fast(state) if is_fast else state
+        res = host_loop(
+            x0, prepare, trial, config, resume=resume,
+            checkpoint_every=checkpoint_every,
+            checkpoint_path=checkpoint_path, metrics_path=metrics_path,
         )
-        return host_loop(state, prepare, trial, config)
+        if is_fast:
+            res = res._replace(state=problem_mod.from_fast(res.state))
+        return res
+
+    if config.verbose or checkpoint_path or metrics_path or resume:
+        return chunked_loop(
+            state, problem, mode, config, resume=resume,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every or 25,
+            metrics_path=metrics_path,
+        )
 
     final = _minimize_jit(state, problem, mode, config)
     # ONE device->host transfer for all result scalars: per-field int()/

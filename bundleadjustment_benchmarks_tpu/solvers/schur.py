@@ -401,6 +401,10 @@ def _stack_dtype(mm):
     while halving the dominant per-iteration copy/gather bytes (measured
     ~1.2 ms/LM-iteration of pure data movement on problem-21).
     """
+    import os
+
+    if os.environ.get("BA_STACK_F32"):  # precision experiment toggle
+        return jnp.dtype(mm)
     if jnp.dtype(mm) == jnp.float32 and jax.default_backend() == "tpu":
         return jnp.bfloat16
     return jnp.dtype(mm)
@@ -672,6 +676,13 @@ def build_context(
     cam_banded = getattr(problem, "cam_banded", None)
     Jc10 = jnp.concatenate([Jc_pl, f_pl], axis=1)
     Jp4 = jnp.concatenate([Jp_pl, f_pl], axis=1)
+    import os as _os
+
+    if _os.environ.get("BA_GRAM_F64") and jax.config.jax_enable_x64:
+        # Precision experiment toggle: form the segment grams (U, V, g) in
+        # f64 regardless of the blocks' dtype.
+        Jc10 = Jc10.astype(jnp.float64)
+        Jp4 = Jp4.astype(jnp.float64)
     if cam_banded is not None:
         M10 = banded_planar_gram(Jc10, cam_banded)
     else:
@@ -680,6 +691,11 @@ def build_context(
         M4 = banded_planar_gram(Jp4, pt_banded)
     else:
         M4 = planar_segment_gram(Jp4, problem.pt_obs_idx)
+    if _os.environ.get("BA_GRAM_F64") and jax.config.jax_enable_x64:
+        # Accurately-computed, then rounded to storage dtype: the f32 ulp of
+        # the VALUE, without the cancellation-amplified accumulation error.
+        M10 = M10.astype(blocks.f.dtype)
+        M4 = M4.astype(blocks.f.dtype)
     U, gc = M10[:, :9, :9], M10[:, :9, 9]
     V, gp = M4[:, :3, :3], M4[:, :3, 3]
     g_cams = -gc
