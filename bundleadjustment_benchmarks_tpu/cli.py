@@ -198,19 +198,36 @@ def main(argv=None) -> int:
         geometry=geometry,
     )
 
+    if args.shards:
+        # Validate up front so programmatic callers get a return code, not an
+        # uncaught SystemExit (the documented `main() -> int` contract).
+        if len(jax.devices()) < args.shards:
+            print(
+                f"--shards {args.shards} needs that many JAX devices; "
+                f"found {len(jax.devices())} "
+                "(hint: XLA_FLAGS=--xla_force_host_platform_device_count=N"
+                " JAX_PLATFORMS=cpu for a virtual mesh)",
+                file=sys.stderr,
+            )
+            return RETURN_WRONG_INPUT_PARAMS
+        # The sharded drive does not yet thread checkpoint/metrics through
+        # shard_map; refuse the combination rather than silently dropping it.
+        ignored = [flag for flag, val in (
+            ("--checkpoint", args.checkpoint),
+            ("--metrics", args.metrics),
+        ) if val]
+        if ignored:
+            print(
+                f"--shards does not support {', '.join(ignored)} yet; "
+                "run single-shard for checkpoint/metrics observability",
+                file=sys.stderr,
+            )
+            return RETURN_WRONG_INPUT_PARAMS
+
     def run():
         if args.shards:
             from bundleadjustment_benchmarks_tpu.parallel import sharded
 
-            if len(jax.devices()) < args.shards:
-                print(
-                    f"--shards {args.shards} needs that many JAX devices; "
-                    f"found {len(jax.devices())} "
-                    "(hint: XLA_FLAGS=--xla_force_host_platform_device_count=N"
-                    " JAX_PLATFORMS=cpu for a virtual mesh)",
-                    file=sys.stderr,
-                )
-                raise SystemExit(RETURN_WRONG_INPUT_PARAMS)
             mesh = sharded.make_mesh(args.shards)
             sp = sharded.shard_problem(problem, mesh)
             res = sharded.minimize_sharded(sp, mesh, mode=args.solver, config=cfg)

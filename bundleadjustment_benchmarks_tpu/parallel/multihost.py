@@ -47,7 +47,10 @@ def initialize(
     platforms pass them explicitly (or set JAX_COORDINATOR_ADDRESS etc.).
     Safe to call when already initialized (no-op).
     """
-    if jax.process_count() > 1:
+    # NOTE: must not probe jax.process_count() here — that call initializes
+    # the local backend, after which jax.distributed.initialize refuses to
+    # run (observed: silent single-host fallback in the 2-process CPU test).
+    if jax.distributed.is_initialized():
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:

@@ -305,7 +305,7 @@ def _local_blocks(state_local, obs_local, tau2, compute_dtype=None):
 
 def make_sharded_kernels(
     sp: ShardedProblem, mesh: Mesh, mode: str, matmul_dtype=None,
-    geometry=None,
+    geometry=None, stack_f32: bool = False, gram_f64: bool = False,
 ):
     """Build (prepare, trial) LM kernels whose heavy math runs under shard_map.
 
@@ -367,6 +367,8 @@ def make_sharded_kernels(
                        pairs_local, cam_pt_local),
             mode,
             mm_dtype=mm,
+            stack_f32=stack_f32,
+            gram_f64=gram_f64,
         )
         U = jax.lax.psum(ctx.U, axis)
         g_cams = jax.lax.psum(ctx.g_cams, axis)
@@ -566,6 +568,8 @@ def make_sharded_kernels(
                            pairs_local, cam_pt_local),
                 mode,
                 mm_dtype=mm,
+                stack_f32=stack_f32,
+                gram_f64=gram_f64,
             )
             U = jax.lax.psum(ctx.U, axis)
             g_cams = jax.lax.psum(ctx.g_cams, axis)
@@ -654,6 +658,7 @@ def minimize_sharded(
     prepare, trial = make_sharded_kernels(
         sp, mesh, mode, matmul_dtype=config.matmul_dtype,
         geometry=config.geometry,
+        stack_f32=config.stack_f32, gram_f64=config.gram_f64,
     )
     fast = config.geometry == "df32"
     state0 = problem_mod.to_fast(sp.state) if fast else sp.state

@@ -38,6 +38,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import functools
+import os
 import time
 from typing import NamedTuple, Optional
 
@@ -102,6 +103,17 @@ class LMConfig:
     #: (ops/pallas_chain.py). None = auto (on when the backend is TPU and
     #: geometry == "df32"); only meaningful for the df32 geometry drive.
     pallas: Optional[bool] = None
+    #: Precision-experiment toggles (see schur.build_context): keep the
+    #: cached pair-gram stacks in the matmul dtype instead of bf16, and form
+    #: the segment grams (U, V, g) in f64 regardless of the blocks' dtype.
+    #: The BA_STACK_F32 / BA_GRAM_F64 env vars only seed the DEFAULTS at
+    #: config construction; the resolved values are static jit args, so they
+    #: are compile-cache-keyed (flipping the env var after a config was built
+    #: has no effect on that config).
+    stack_f32: bool = dataclasses.field(
+        default_factory=lambda: bool(os.environ.get("BA_STACK_F32")))
+    gram_f64: bool = dataclasses.field(
+        default_factory=lambda: bool(os.environ.get("BA_GRAM_F64")))
     #: History depth of the flatline test (BacktrackLevMarqCholesky.h:150).
     energy_history_size: int = 2
     #: Outer iterations per dispatch of the chunked jit drive (the
@@ -136,8 +148,10 @@ def _mm(matmul_dtype):
     return jnp.dtype(matmul_dtype) if matmul_dtype else None
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
-def _prepare(state, problem, mode: str, matmul_dtype: Optional[str] = None):
+@functools.partial(
+    jax.jit, static_argnames=("mode", "matmul_dtype", "stack_f32", "gram_f64"))
+def _prepare(state, problem, mode: str, matmul_dtype: Optional[str] = None,
+             stack_f32: bool = False, gram_f64: bool = False):
     """Residuals + Jacobian + lambda-independent solver context (once per outer iter).
 
     Mixed precision (``matmul_dtype``): the Jacobian chain past the world->
@@ -151,14 +165,18 @@ def _prepare(state, problem, mode: str, matmul_dtype: Optional[str] = None):
     )
     acc = projection.accumulation_dtype(blocks.f.dtype)
     energy = projection.compensated_square_sum(blocks.f)
-    ctx = schur.build_context(blocks, problem, mode, mm_dtype=mm)
+    ctx = schur.build_context(blocks, problem, mode, mm_dtype=mm,
+                              stack_f32=stack_f32, gram_f64=gram_f64)
     lam0 = schur.initial_lambda(ctx, mode).astype(acc)
     return ctx, energy, lam0
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype", "pallas"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "matmul_dtype", "pallas", "stack_f32", "gram_f64"))
 def _prepare_fast(fast, problem, mode: str, matmul_dtype: Optional[str] = None,
-                  pallas: bool = False):
+                  pallas: bool = False,
+                  stack_f32: bool = False, gram_f64: bool = False):
     """df32-geometry prepare: same outputs as _prepare, zero f64 HLOs on
     K/M-sized data (the TPU performance path; see LMConfig.geometry).
 
@@ -174,7 +192,8 @@ def _prepare_fast(fast, problem, mode: str, matmul_dtype: Optional[str] = None,
             fast, problem.obs, problem.tau2
         )
         energy = projection.compensated_square_sum(blocks.f)
-    ctx = schur.build_context(blocks, problem, mode, mm_dtype=mm)
+    ctx = schur.build_context(blocks, problem, mode, mm_dtype=mm,
+                              stack_f32=stack_f32, gram_f64=gram_f64)
     acc = projection.accumulation_dtype(blocks.f.dtype)
     lam0 = schur.initial_lambda(ctx, mode).astype(acc)
     return ctx, energy, lam0
@@ -449,14 +468,17 @@ def _minimize_jit(state0, problem, mode: str, config: LMConfig):
         fast0 = problem_mod.to_fast(state0)
         use_pl = config.use_pallas()
         prepare = lambda s: _prepare_fast(  # noqa: E731
-            s, problem, mode, config.matmul_dtype, pallas=use_pl
+            s, problem, mode, config.matmul_dtype, pallas=use_pl,
+            stack_f32=config.stack_f32, gram_f64=config.gram_f64
         )
         trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
             ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl
         )
         final = lm_loop(fast0, prepare, trial, config, dtype)
         return final._replace(x=problem_mod.from_fast(final.x, dtype=dtype))
-    prepare = lambda s: _prepare(s, problem, mode, config.matmul_dtype)  # noqa: E731
+    prepare = lambda s: _prepare(  # noqa: E731
+        s, problem, mode, config.matmul_dtype,
+        stack_f32=config.stack_f32, gram_f64=config.gram_f64)
     trial = lambda ctx, s, lam: _trial(  # noqa: E731
         ctx, s, lam, problem, mode, config.matmul_dtype
     )
@@ -475,13 +497,16 @@ def _make_kernels(problem, mode: str, config: LMConfig):
     if config.geometry == "df32":
         use_pl = config.use_pallas()
         prepare = lambda s: _prepare_fast(  # noqa: E731
-            s, problem, mode, config.matmul_dtype, pallas=use_pl
+            s, problem, mode, config.matmul_dtype, pallas=use_pl,
+            stack_f32=config.stack_f32, gram_f64=config.gram_f64
         )
         trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
             ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl
         )
         return prepare, trial, True
-    prepare = lambda s: _prepare(s, problem, mode, config.matmul_dtype)  # noqa: E731
+    prepare = lambda s: _prepare(  # noqa: E731
+        s, problem, mode, config.matmul_dtype,
+        stack_f32=config.stack_f32, gram_f64=config.gram_f64)
     trial = lambda ctx, s, lam: _trial(  # noqa: E731
         ctx, s, lam, problem, mode, config.matmul_dtype
     )
@@ -533,8 +558,18 @@ def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
     one XLA computation; between dispatches the host reconstructs the
     reference's per-trial verbose table (BacktrackLevMarqCholesky.h:53-81 —
     rejected-trial lambdas replay exactly from (lam0, nu0) via the nu^1.5
-    growth law), appends JSONL metrics, and checkpoints. Elapsed is the
-    amortized per-trial device+dispatch time of the chunk."""
+    growth law), appends JSONL metrics, and checkpoints.
+
+    Timing semantics (vs the reference's measured per-trial wall clock,
+    BacktrackLevMarqCholesky.h:308): the chunk executable is AOT-compiled
+    BEFORE the timed loop (compile time reported separately, never folded
+    into a per-trial number), and the Elapsed column is the chunk's
+    device+dispatch wall clock amortized over its damping trials — labeled
+    as such in the table header and as ``elapsed_kind`` in JSONL. Replayed
+    Rejected rows are synthesized from (lam0, nu0): their lambda sequence is
+    exact, but per-trial rho was not recorded on device, so JSONL carries
+    ``rho: null`` + ``synthesized: true`` for them (the host drive records
+    true per-trial rho/elapsed)."""
     from bundleadjustment_benchmarks_tpu.ops.projection import accumulation_dtype
 
     _, _, is_fast = _make_kernels(problem, mode, config)
@@ -542,20 +577,37 @@ def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
     dtype = accumulation_dtype(state0.T.dtype)
     st = _init_outer_state(x0, config, dtype, resume=resume)
 
+    # AOT-compile the chunk executable so no dispatch's timing includes XLA
+    # compilation (ADVICE r2: the first chunk's compile tainted the per-trial
+    # estimate). Static args (mode, config) are baked into the executable.
+    t_compile = time.perf_counter()
+    chunk_exe = _run_chunk_jit.lower(st, problem, mode, config).compile()
+    compile_s = time.perf_counter() - t_compile
+
     if config.verbose:
         _output_header()
+        print(f"(chunked jit drive: compile {compile_s:.3g}s excluded; "
+              "Elapsed = chunk-amortized avg per trial)")
         _output_iter_header()
     metrics_f = open(metrics_path, "a") if metrics_path else None
 
-    def emit(it_, status_, f_, rho_, lam_, elapsed_):
+    def emit(it_, status_, f_, rho_, lam_, elapsed_, synthesized=False):
         if metrics_f:
             import json as _json
 
             metrics_f.write(_json.dumps({
                 "iter": it_, "status": status_, "f": f_, "rho": rho_,
                 "lambda": lam_, "elapsed_s": elapsed_,
+                "elapsed_kind": "avg_per_trial_chunk",
+                "synthesized": synthesized,
             }) + "\n")
             metrics_f.flush()
+
+    if metrics_f:
+        import json as _json
+
+        metrics_f.write(_json.dumps({"compile_s": compile_s}) + "\n")
+        metrics_f.flush()
 
     next_ckpt = None
     if checkpoint_every and checkpoint_path:
@@ -564,7 +616,7 @@ def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
     while True:
         t0 = time.perf_counter()
         it_before = int(st.it)
-        st, recs = _run_chunk_jit(st, problem, mode, config)
+        st, recs = chunk_exe(st, problem)
         status_i, it_i, fe_i = jax.device_get((st.status, st.it, st.fun_evals))
         chunk_wall = time.perf_counter() - t0
         n_done = int(it_i) - it_before
@@ -582,7 +634,8 @@ def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
                 for _ in range(ntr - (1 if acc_ else 0)):
                     if config.verbose:
                         _output_iter(it_, "Rejected", f_, 0.0, lam, per_trial)
-                    emit(it_, "Rejected", f_, 0.0, lam, per_trial)
+                    emit(it_, "Rejected", f_, None, lam, per_trial,
+                         synthesized=True)
                     lam *= inc
                     inc = inc**1.5
                 if acc_:

@@ -391,7 +391,7 @@ def point_coupling_sum(W, dxc, cam_idx, problem):
     return banded_planar_sum(Wdx.T, banded).T
 
 
-def _stack_dtype(mm):
+def _stack_dtype(mm, stack_f32: bool = False):
     """Storage dtype for the cached pair-gram stacks.
 
     On TPU an f32 dot_general under DEFAULT precision runs as a single bf16
@@ -400,10 +400,11 @@ def _stack_dtype(mm):
     stacks in bf16 loses NO precision over what the MXU already computes —
     while halving the dominant per-iteration copy/gather bytes (measured
     ~1.2 ms/LM-iteration of pure data movement on problem-21).
-    """
-    import os
 
-    if os.environ.get("BA_STACK_F32"):  # precision experiment toggle
+    ``stack_f32=True`` (LMConfig.stack_f32) keeps the stacks in the matmul
+    dtype instead — the precision-experiment control arm.
+    """
+    if stack_f32:
         return jnp.dtype(mm)
     if jnp.dtype(mm) == jnp.float32 and jax.default_backend() == "tpu":
         return jnp.bfloat16
@@ -645,7 +646,8 @@ def _schur_gram(C, w, y, problem, n_cameras: int, mm):
 
 
 def build_context(
-    blocks: JacobianBlocks, problem, mode: str, mm_dtype=None
+    blocks: JacobianBlocks, problem, mode: str, mm_dtype=None,
+    stack_f32: bool = False, gram_f64: bool = False,
 ) -> SchurContext:
     """Assemble normal-equation blocks + mode-specific cached factors from J.
 
@@ -657,6 +659,12 @@ def build_context(
     reasonable damping), while the MXU-heavy matmuls are fine in f32 once
     their operands are point-whitened. See solve_damped for the per-trial
     half of the recipe.
+
+    ``stack_f32`` / ``gram_f64``: precision-experiment toggles surfaced as
+    LMConfig.stack_f32 / LMConfig.gram_f64 (static jit args, so they are
+    compile-cache-keyed): keep the cached pair-gram stacks in the matmul
+    dtype instead of bf16, and form the segment grams (U, V, g) in f64
+    regardless of the blocks' dtype.
     """
     obs = problem.obs
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
@@ -676,9 +684,9 @@ def build_context(
     cam_banded = getattr(problem, "cam_banded", None)
     Jc10 = jnp.concatenate([Jc_pl, f_pl], axis=1)
     Jp4 = jnp.concatenate([Jp_pl, f_pl], axis=1)
-    import os as _os
+    gram_f64 = gram_f64 and jax.config.jax_enable_x64
 
-    if _os.environ.get("BA_GRAM_F64") and jax.config.jax_enable_x64:
+    if gram_f64:
         # Precision experiment toggle: form the segment grams (U, V, g) in
         # f64 regardless of the blocks' dtype.
         Jc10 = Jc10.astype(jnp.float64)
@@ -691,7 +699,7 @@ def build_context(
         M4 = banded_planar_gram(Jp4, pt_banded)
     else:
         M4 = planar_segment_gram(Jp4, problem.pt_obs_idx)
-    if _os.environ.get("BA_GRAM_F64") and jax.config.jax_enable_x64:
+    if gram_f64:
         # Accurately-computed, then rounded to storage dtype: the f32 ulp of
         # the VALUE, without the cancellation-amplified accumulation error.
         M10 = M10.astype(blocks.f.dtype)
@@ -753,7 +761,7 @@ def build_context(
         # tables ONCE per outer iteration (these gathers dominated the
         # per-trial gram); trials only gather the 3 weight rows. Stored in
         # bf16 on TPU (see _stack_dtype — the MXU consumes bf16 regardless).
-        sd = _stack_dtype(mm)
+        sd = _stack_dtype(mm, stack_f32)
         W27 = W.reshape(k_obs, 27).T  # comp 3i+j = W[k][i][j]
         Qg = evecs.reshape(m, 9).T[:, pt_idx]  # (9, K): comp 3j+c
         # WQ27[3i+c] = sum_j W27[3i+j] * Qg[3j+c], as ONE batched planar

@@ -1,0 +1,110 @@
+"""Flatline convergence parity: TPU framework vs the independent scipy port.
+
+The reference's de-facto correctness check is five binaries printing the same
+statistics on the same BAL input after running to the energy-flatline stop
+(/root/reference/README.md:4-18; stats /root/reference/src/Utils.h:15-68,
+printed by /root/reference/src/bundle_adjustment_large.cpp:111-114,168-171).
+These tests assert that record: each campaign row in
+benchmarks/parity_campaign.json (TPU, all five modes, run to the reference's
+flatline stop, BacktrackLevMarqCholesky.h:343-350) must land within budget of
+the INDEPENDENT scipy/numpy port's flatline (benchmarks/cpu_reference.py,
+recorded in benchmarks/results/cpu_*_flatline.json).
+
+Budgets (see BASELINE.md "Flatline parity" for the measured spreads that set
+them):
+
+* inlier mean reprojection error — the north-star — within INLIER_TOL px of
+  the scipy port.  The robust-kernel energy plateau is chaotic: tiny rounding
+  differences pick different flatline points, and the measured f64 mode-to-
+  mode spread on the SAME backend is a few 1e-4 px, while perturbation runs
+  of the same config spread by ~1e-3 px (benchmarks/results/
+  perturbation_spread.json).  The budget is set above that intrinsic spread.
+* true objective (Utils.h:45-68) within OBJ_RTOL relative.
+* inlier count within INLIER_COUNT_RTOL relative.
+
+If a campaign row is missing (artifact not regenerated) the test SKIPS
+rather than passes silently; a CRASHED/TIMEOUT row FAILS.
+"""
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CAMPAIGN = os.path.join(REPO, "benchmarks", "parity_campaign.json")
+CPU_FLATLINE = {
+    "problem-21-11315-pre.txt": os.path.join(
+        REPO, "benchmarks", "results", "cpu_p21_flatline.json"),
+    "problem-39-18060-pre.txt": os.path.join(
+        REPO, "benchmarks", "results", "cpu_p39_flatline.json"),
+}
+
+MODES = ("cholesky", "qrchol", "qrkit", "moreqr", "spqr")
+
+#: Budgets per drive. f64 runs the same arithmetic as the scipy port, so it
+#: must sit inside the plateau's intrinsic spread; df32 (the TPU performance
+#: drive) is allowed the measured extra formation noise of the f32/bf16 gram
+#: path (BASELINE.md records both).
+BUDGETS = {
+    "f64": dict(inlier_px=1e-3, obj_rtol=1e-2, inlier_count_rtol=0.03),
+    # PROVISIONAL df32 envelope (r3): the base df32 drive flatlines 2e-3 to
+    # 9e-3 px above the scipy port (bf16 pair-gram stacks + f32 segment
+    # grams limit the step quality near convergence). The gram-precision fix
+    # (LMConfig.gram_f64 / stack_f32) is the tightening path; budgets shrink
+    # to the f64 row once the campaign records the fixed drive.
+    "df32": dict(inlier_px=1e-2, obj_rtol=5e-2, inlier_count_rtol=0.15),
+}
+
+
+def _load(path):
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _campaign_rows():
+    data = _load(CAMPAIGN)
+    if data is None:
+        return {}
+    return {(r["problem"], r["mode"], r["drive"]): r for r in data["rows"]}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("problem", sorted(CPU_FLATLINE))
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("drive", sorted(BUDGETS))
+def test_flatline_statistics_parity(problem, mode, drive):
+    cpu = _load(CPU_FLATLINE[problem])
+    if cpu is None:
+        pytest.skip(f"no scipy-port flatline recorded for {problem}")
+    rows = _campaign_rows()
+    row = rows.get((problem, mode, drive))
+    if row is None:
+        pytest.skip(f"campaign row ({problem}, {mode}, {drive}) not recorded")
+    assert row["status"] not in ("CRASHED", "TIMEOUT"), row
+    # Any LM terminal status is acceptable (flatline or lambda-max — both are
+    # 'converged' ends of the plateau); what must match is the statistics.
+    budget = BUDGETS[drive]
+
+    cpu_post, tpu_post = cpu["post"], row["post"]
+    d_inlier = abs(tpu_post["inlier_mean_reprojection_error"]
+                   - cpu_post["inlier_mean_reprojection_error"])
+    assert d_inlier < budget["inlier_px"], (
+        f"{mode}/{drive}/{problem}: inlier mean err "
+        f"{tpu_post['inlier_mean_reprojection_error']:.6f} vs scipy "
+        f"{cpu_post['inlier_mean_reprojection_error']:.6f} "
+        f"(|delta|={d_inlier:.2e} px, budget {budget['inlier_px']:.0e})")
+
+    rel_obj = abs(tpu_post["true_objective"] - cpu_post["true_objective"]) \
+        / abs(cpu_post["true_objective"])
+    assert rel_obj < budget["obj_rtol"], (
+        f"{mode}/{drive}/{problem}: true objective {tpu_post['true_objective']:.4f} "
+        f"vs scipy {cpu_post['true_objective']:.4f} (rel {rel_obj:.3%})")
+
+    rel_cnt = abs(tpu_post["n_inliers"] - cpu_post["n_inliers"]) \
+        / cpu_post["n_inliers"]
+    assert rel_cnt < budget["inlier_count_rtol"], (
+        f"{mode}/{drive}/{problem}: {tpu_post['n_inliers']} inliers vs scipy "
+        f"{cpu_post['n_inliers']} (rel {rel_cnt:.3%})")
