@@ -206,16 +206,40 @@ def apply_step(st: State, dx, m, n):
     return out
 
 
+def save_state(path, st, lam, lam_inc, hist, it, fun_evals):
+    """Checkpoint the EXACT LM state (flatline runs on the big problems take
+    hours at scipy speed; a resumed run continues the identical trajectory —
+    hist indexing uses the absolute iteration counter, so it must be kept)."""
+    np.savez(path, R=st.R, T=st.T, f=st.f, k1=st.k1, k2=st.k2, X=st.X,
+             lam=lam, lam_inc=lam_inc, hist=np.asarray(hist),
+             it=it, fun_evals=fun_evals)
+
+
+def load_state(path, st):
+    d = np.load(path)
+    out = object.__new__(State)
+    out.R, out.T, out.f = d["R"], d["T"], d["f"]
+    out.k1, out.k2, out.X = d["k1"], d["k2"], d["X"]
+    return (out, float(d["lam"]), float(d["lam_inc"]), list(d["hist"]),
+            int(d["it"]), int(d["fun_evals"]))
+
+
 def minimize(st, ci, pi, meas, m, n, max_iter=100, tol_fun=1e-8, verbose=False,
-             trace=None):
+             trace=None, resume=None, save_state_path=None, save_every=50):
     """``trace``: optional list; appends (iter, energy_after_accept, lam)
     per accepted iteration — consumed by the JAX-vs-CPU parity tests and the
-    flatline-campaign JSON record."""
+    flatline-campaign JSON record.
+
+    ``resume``: (lam, lam_inc, hist, it, fun_evals) from load_state — the
+    caller passes the loaded state as ``st``. ``save_state_path``: checkpoint
+    the LM state there every ``save_every`` accepted iterations."""
     lam = 1e-3
     lam_inc = 2.0
     hist = [0.0, 0.0]
     it = 0
     fun_evals = 0
+    if resume is not None:
+        lam, lam_inc, hist, it, fun_evals = resume
     status = "Running"
     eye = scipy.sparse.identity(3 * m + 9 * n, format="csc")
     while True:
@@ -254,6 +278,11 @@ def minimize(st, ci, pi, meas, m, n, max_iter=100, tol_fun=1e-8, verbose=False,
                 if verbose:
                     print(f"{it:5d} Accepted {energy:.6g} rho={rho:.4g} lam={lam:.4g}",
                           flush=True)
+                if save_state_path and it % save_every == 0:
+                    # st_test is the accepted iterate the next outer
+                    # iteration will start from (st = st_test below).
+                    save_state(save_state_path, st_test, lam, lam_inc, hist,
+                               it, fun_evals)
                 break
             else:
                 if lam > 1e10:
@@ -268,6 +297,13 @@ def minimize(st, ci, pi, meas, m, n, max_iter=100, tol_fun=1e-8, verbose=False,
             status = "Success (Energy Flatlined)"
             break
         st = st_test
+    if save_state_path:
+        # Terminal snapshot (st keeps the reference's discard-final-step
+        # semantics on the flatline path): lets a capped run continue. On
+        # the max-iter stop, iteration ``it`` never ran — rewind the counter
+        # so the resumed run replays it (verified: resumed == straight run).
+        it_done = it - 1 if status == "Maximum Iterations Reached" else it
+        save_state(save_state_path, st, lam, lam_inc, hist, it_done, fun_evals)
     return st, status, it, fun_evals, energy
 
 
@@ -281,10 +317,22 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--json", default=None,
                     help="write trajectory + post-stats JSON to this path")
+    ap.add_argument("--save-state", default=None,
+                    help="checkpoint the LM state (npz) here every "
+                    "--save-every accepted iterations")
+    ap.add_argument("--save-every", type=int, default=50)
+    ap.add_argument("--resume-state", default=None,
+                    help="resume the exact LM trajectory from this npz")
     args = ap.parse_args()
 
     ds = bal.read_bal(args.problem)
     st = State(ds)
+    resume = None
+    if args.resume_state:
+        st, *resume_vals = load_state(args.resume_state, st)
+        resume = tuple(resume_vals)
+        print(f"resumed from {args.resume_state} at iteration {resume[3]}",
+              flush=True)
     ci, pi, meas = ds.cam_idx, ds.pt_idx, ds.measurements
     m, n = ds.n_points, ds.n_cameras
 
@@ -299,7 +347,8 @@ def main():
     t0 = time.perf_counter()
     st, status, iters, fun_evals, energy = minimize(
         st, ci, pi, meas, m, n, max_iter=args.max_iter, tol_fun=args.tol,
-        verbose=args.verbose, trace=trace,
+        verbose=args.verbose, trace=trace, resume=resume,
+        save_state_path=args.save_state, save_every=args.save_every,
     )
     wall = time.perf_counter() - t0
     iters_per_sec = iters / wall

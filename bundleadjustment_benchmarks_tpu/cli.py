@@ -78,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
         "jit = whole optimization in one XLA computation",
     )
     p.add_argument("--max-iters", type=int, default=1_000_000)
+    p.add_argument(
+        "--polish",
+        type=int,
+        default=0,
+        metavar="N",
+        help="after a fast-geometry drive (--geometry df32 / --precision "
+        "mixed) stops, continue up to N iterations in full f64 from its "
+        "final iterate (two-phase drive: df32 descent speed, f64 plateau "
+        "depth). Ignored for pure-f64 runs",
+    )
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument(
         "--inlier-threshold", type=float, default=INLIER_THRESHOLD
@@ -196,6 +206,7 @@ def main(argv=None) -> int:
         discard_final_step=not args.keep_final_step,
         matmul_dtype=matmul_dtype,
         geometry=geometry,
+        polish_iters=args.polish,
     )
 
     if args.shards:

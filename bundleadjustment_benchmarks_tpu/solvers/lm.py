@@ -114,6 +114,23 @@ class LMConfig:
         default_factory=lambda: bool(os.environ.get("BA_STACK_F32")))
     gram_f64: bool = dataclasses.field(
         default_factory=lambda: bool(os.environ.get("BA_GRAM_F64")))
+    #: Two-phase drive: after the fast-geometry drive (geometry/matmul_dtype
+    #: set) terminates, continue from its final state in FULL f64 arithmetic
+    #: (geometry=None, matmul_dtype=None) for up to this many extra
+    #: iterations or its own flatline. The df32 descent is ~4x faster per
+    #: iteration but its f32-formed steps bottom out a few 1e-3 px above the
+    #: f64 plateau (measured, BASELINE.md "Flatline parity"); a short f64
+    #: polish recovers the full depth at a fraction of a pure-f64 run's cost.
+    #: 0 = off. Ignored when the config is already pure f64.
+    polish_iters: int = 0
+    #: Flatline tolerance of the FAST phase of the two-phase drive. The df32
+    #: phase must hand over as soon as its own step noise stalls the descent:
+    #: left to the reference tolerance (1e-8) it wanders the plateau with
+    #: noisy steps, escalates lambda to the 1e10 abort, and locks the
+    #: iterate into a basin the f64 polish cannot leave (measured on p21:
+    #: polish from the wandered endpoint recovers only 6e-5 px of the 2.8e-3
+    #: px df32 gap). The fast phase runs with max(tol_fun, this).
+    polish_fast_tol: float = 1e-6
     #: History depth of the flatline test (BacktrackLevMarqCholesky.h:150).
     energy_history_size: int = 2
     #: Outer iterations per dispatch of the chunked jit drive (the
@@ -859,6 +876,37 @@ def minimize(
         raise ValueError(f"unknown mode {mode!r}; expected one of {schur.MODES}")
     config = config or LMConfig()
     state = state if state is not None else problem.state
+
+    if config.polish_iters and (config.geometry or config.matmul_dtype):
+        # Two-phase drive (LMConfig.polish_iters): fast-geometry descent to
+        # its own stop, then a short full-f64 continuation from that iterate
+        # to recover the f64 plateau depth the f32-formed steps cannot reach.
+        fast_cfg = dataclasses.replace(
+            config, polish_iters=0,
+            tol_fun=max(config.tol_fun, config.polish_fast_tol))
+        fast_res = minimize(
+            problem, mode=mode, config=fast_cfg, state=state, resume=resume,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            metrics_path=metrics_path,
+        )
+        polish_cfg = dataclasses.replace(
+            config, polish_iters=0, geometry=None, matmul_dtype=None,
+            pallas=False, max_iter=config.polish_iters,
+        )
+        polish_res = minimize(
+            problem, mode=mode, config=polish_cfg, state=fast_res.state,
+            metrics_path=metrics_path,
+        )
+        # MaxItersReached on the polish cap is a budget stop, not a failure:
+        # report the fast phase's terminal status in that case.
+        status = (fast_res.status
+                  if polish_res.status == LMStatus.MaxItersReached
+                  else polish_res.status)
+        return polish_res._replace(
+            iterations=fast_res.iterations + polish_res.iterations,
+            fun_evals=fast_res.fun_evals + polish_res.fun_evals,
+            status=status,
+        )
 
     if config.drive == "host":
         prepare, trial, is_fast = _make_kernels(problem, mode, config)

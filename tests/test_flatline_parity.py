@@ -48,12 +48,16 @@ MODES = ("cholesky", "qrchol", "qrkit", "moreqr", "spqr")
 #: path (BASELINE.md records both).
 BUDGETS = {
     "f64": dict(inlier_px=1e-3, obj_rtol=1e-2, inlier_count_rtol=0.03),
-    # PROVISIONAL df32 envelope (r3): the base df32 drive flatlines 2e-3 to
-    # 9e-3 px above the scipy port (bf16 pair-gram stacks + f32 segment
-    # grams limit the step quality near convergence). The gram-precision fix
-    # (LMConfig.gram_f64 / stack_f32) is the tightening path; budgets shrink
-    # to the f64 row once the campaign records the fixed drive.
-    "df32": dict(inlier_px=1e-2, obj_rtol=5e-2, inlier_count_rtol=0.15),
+    # The production TPU drive: df32 descent to a loose flatline + full-f64
+    # polish (LMConfig.polish_iters/polish_fast_tol) — must reach the f64
+    # plateau depth.
+    "df32p": dict(inlier_px=1e-3, obj_rtol=1e-2, inlier_count_rtol=0.03),
+    # RAW df32 (no polish) is the speed drive, recorded as an envelope, not
+    # a parity claim: its f32-formed steps stall a few 1e-3 px above the f64
+    # plateau and plateau-wandering can shed up to ~20% of the marginal
+    # inliers (measured r3, qrchol/p39; gram_f64/stack_f32 experiments did
+    # NOT close it — the polish drive is the fix).
+    "df32": dict(inlier_px=1e-2, obj_rtol=6e-2, inlier_count_rtol=0.25),
 }
 
 

@@ -20,10 +20,16 @@ from bundleadjustment_benchmarks_tpu.solvers import lm
 from conftest import problem21  # noqa: F401  (fixture)
 
 #: (mode -> final Sum psi energy after 6 LM iterations, f64 oracle).
+#: qrkit and spqr are numerically identical by construction: spqr is the
+#: augmented block QR with documented equivalence (SURVEY.md section 2.2,
+#: /root/reference/src/Optimization/BAFunctor.h:114-116), so both pin the
+#: same value — the test still runs both to catch a mode-dispatch regression.
 ORACLE_6ITER = {
     "cholesky": 1571.7996228190314,
     "qrchol": 1571.083942269066,
     "moreqr": 1578.7991240545743,
+    "qrkit": 1585.749697306041,
+    "spqr": 1585.749697306041,
 }
 
 #: Pre-optimization stats, matching the reference binaries' printout on
