@@ -323,10 +323,17 @@ def main():
     ap.add_argument("--save-every", type=int, default=50)
     ap.add_argument("--resume-state", default=None,
                     help="resume the exact LM trajectory from this npz")
+    ap.add_argument("--perturb", type=int, default=None, metavar="SEED",
+                    help="perturb the initial points by 1e-10 relative noise "
+                    "(given seed) — measures the robust-kernel plateau's "
+                    "intrinsic flatline spread (the parity-budget rationale)")
     args = ap.parse_args()
 
     ds = bal.read_bal(args.problem)
     st = State(ds)
+    if args.perturb is not None:
+        rng = np.random.default_rng(args.perturb)
+        st.X = st.X * (1.0 + 1e-10 * rng.standard_normal(st.X.shape))
     resume = None
     if args.resume_state:
         st, *resume_vals = load_state(args.resume_state, st)
