@@ -45,6 +45,10 @@ def main():
 
     import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # The harness may pre-import jax on the TPU platform; the env var
+        # alone is then too late (see tests/conftest.py) — force the config.
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp

@@ -290,6 +290,20 @@ class _LocalView:
     cam_obs_pt: Optional[jax.Array] = None
 
 
+def _pmax(x, axis: str):
+    """Cross-shard max expressed with ONLY a Sum all-reduce.
+
+    The axon TPU AOT compiler lowers just AllReduce-Sum ("Supported lowering
+    only of Sum all reduce" on lax.pmax, measured r3) — so the distributed
+    prepare's lambda-init max rides a psum of a one-hot slot vector: shard i
+    deposits its local max in slot i, every shard then reduces the gathered
+    vector locally. Payload n_shards scalars; exact (no approximation)."""
+    n = jax.lax.axis_size(axis)
+    i = jax.lax.axis_index(axis)
+    slots = jnp.zeros((n,), x.dtype).at[i].set(x)
+    return jnp.max(jax.lax.psum(slots, axis))
+
+
 def _local_blocks(state_local, obs_local, tau2, compute_dtype=None):
     """Masked residuals+Jacobian on one shard: padding rows contribute zero."""
     blocks = jacobian_mod.residuals_and_jacobian(
@@ -374,7 +388,7 @@ def make_sharded_kernels(
         g_cams = jax.lax.psum(ctx.g_cams, axis)
         max_colnorm_sq = jnp.maximum(
             jnp.max(jnp.diagonal(U, axis1=-2, axis2=-1)),
-            jax.lax.pmax(jnp.max(jnp.diagonal(ctx.V, axis1=-2, axis2=-1)), axis),
+            _pmax(jnp.max(jnp.diagonal(ctx.V, axis1=-2, axis2=-1)), axis),
         )
         ctx = dataclasses.replace(
             ctx, U=U, g_cams=g_cams, max_colnorm_sq=max_colnorm_sq
@@ -575,7 +589,7 @@ def make_sharded_kernels(
             g_cams = jax.lax.psum(ctx.g_cams, axis)
             max_colnorm_sq = jnp.maximum(
                 jnp.max(jnp.diagonal(U, axis1=-2, axis2=-1)),
-                jax.lax.pmax(
+                _pmax(
                     jnp.max(jnp.diagonal(ctx.V, axis1=-2, axis2=-1)), axis
                 ),
             )
