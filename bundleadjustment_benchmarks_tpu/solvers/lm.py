@@ -117,11 +117,14 @@ class LMConfig:
     #: Two-phase drive: after the fast-geometry drive (geometry/matmul_dtype
     #: set) terminates, continue from its final state in FULL f64 arithmetic
     #: (geometry=None, matmul_dtype=None) for up to this many extra
-    #: iterations or its own flatline. The df32 descent is ~4x faster per
-    #: iteration but its f32-formed steps bottom out a few 1e-3 px above the
-    #: f64 plateau (measured, BASELINE.md "Flatline parity"); a short f64
-    #: polish recovers the full depth at a fraction of a pure-f64 run's cost.
-    #: 0 = off. Ignored when the config is already pure f64.
+    #: iterations or its own flatline. Measured (r3, BASELINE.md "Flatline
+    #: parity"): the polish IMPROVES the df32 endpoint but does not reliably
+    #: reach the from-scratch f64 basin — the depth-2 flatline stop is a
+    #: hair-trigger on the robust-kernel plateau, so a df32-started
+    #: trajectory ends wherever two slow iterations land, at any handover
+    #: tolerance. For full-depth statistics run the f64 drive (chunked);
+    #: polish is a cheap upgrade for speed-first runs. 0 = off. Ignored when
+    #: the config is already pure f64.
     polish_iters: int = 0
     #: Flatline tolerance of the FAST phase of the two-phase drive. The df32
     #: phase must hand over as soon as its own step noise stalls the descent:
@@ -138,6 +141,14 @@ class LMConfig:
     #: N iterations per XLA call and emits the reference table between
     #: chunks — jit-loop speed, host-loop introspection).
     chunk_size: int = 16
+    #: Force the jit drive through the chunked loop even without
+    #: verbose/checkpoint/metrics. Bounds single-dispatch wall time: one
+    #: monolithic lax.while_loop dispatch running for hundreds of seconds is
+    #: killed by the TPU-worker watchdog ("TPU worker process crashed or
+    #: restarted") — measured on the qrkit/spqr TSQR modes at problem-39
+    #: scale, where the full-run dispatch exceeds ~300 s (every sub-piece
+    #: passes standalone; see benchmarks/repro_tsqr_crash.py and DESIGN.md).
+    chunked: bool = False
 
     def use_pallas(self) -> bool:
         if self.geometry != "df32":
@@ -289,7 +300,38 @@ class _IterRecord(NamedTuple):
     accepted: jax.Array  # bool
 
 
-def _make_outer(prepare, trial, config: LMConfig, dtype):
+class _Limits(NamedTuple):
+    """Run-length/stopping knobs as TRACED scalars (not static jit args):
+    varying max_iter / max_fun_ev / tol_fun must not trigger a recompile —
+    the campaign/polish drives sweep them, and each full-LM XLA program costs
+    minutes through the remote-compile tunnel."""
+
+    max_iter: jax.Array
+    max_fun_ev: jax.Array
+    tol_fun: jax.Array
+
+
+def _limits(config: LMConfig, dtype) -> _Limits:
+    i32max = 2**31 - 1
+    return _Limits(
+        max_iter=jnp.int32(min(config.max_iter, i32max)),
+        max_fun_ev=jnp.int32(min(config.max_fun_ev, i32max)),
+        tol_fun=jnp.asarray(config.tol_fun, dtype),
+    )
+
+
+def _jit_key(config: LMConfig) -> LMConfig:
+    """Canonicalize the static-config jit key: zero every field that the
+    traced code consumes via _Limits (or that only the host-side wrapper
+    reads), so run-length variants of one (mode, geometry, shapes) setup
+    share a single compiled program."""
+    return dataclasses.replace(
+        config, max_iter=0, max_fun_ev=0, tol_fun=0.0,
+        polish_iters=0, polish_fast_tol=0.0,
+    )
+
+
+def _make_outer(prepare, trial, config: LMConfig, dtype, limits: _Limits):
     """Build (outer_cond, outer_step) shared by the whole-run jit loop and
     the chunked observable drive. ``outer_step`` returns the new state plus
     an _IterRecord of this iteration.
@@ -312,8 +354,8 @@ def _make_outer(prepare, trial, config: LMConfig, dtype):
         return jnp.logical_and(
             st.status == running,
             jnp.logical_and(
-                st.it + 1 <= config.max_iter,
-                st.fun_evals <= config.max_fun_ev,
+                st.it + 1 <= limits.max_iter,
+                st.fun_evals <= limits.max_fun_ev,
             ),
         )
 
@@ -378,7 +420,7 @@ def _make_outer(prepare, trial, config: LMConfig, dtype):
         )
         flat = jnp.logical_and(
             it > config.energy_history_size,
-            jnp.abs(new_energy - jnp.max(hist)) < config.tol_fun * new_energy,
+            jnp.abs(new_energy - jnp.max(hist)) < limits.tol_fun * new_energy,
         )
         flat = jnp.logical_and(flat, accepted)
         status2 = jnp.where(
@@ -443,7 +485,7 @@ def _init_outer_state(state0, config: LMConfig, dtype, resume=None):
     return st
 
 
-def _finalize_limits(final: _OuterState, config: LMConfig):
+def _finalize_limits(final: _OuterState, limits: _Limits):
     """Reconstruct the reference's top-of-iteration stop bookkeeping: it
     increments the counter and sets the status WITHOUT doing work."""
     running = jnp.int32(int(LMStatus.Running))
@@ -451,7 +493,7 @@ def _finalize_limits(final: _OuterState, config: LMConfig):
     status = jnp.where(
         hit_limit,
         jnp.where(
-            final.it + 1 > config.max_iter,
+            final.it + 1 > limits.max_iter,
             jnp.int32(int(LMStatus.MaxItersReached)),
             jnp.int32(int(LMStatus.TooManyFunctionEvaluation)),
         ),
@@ -462,12 +504,15 @@ def _finalize_limits(final: _OuterState, config: LMConfig):
     )
 
 
-def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
+def lm_loop(state0, prepare, trial, config: LMConfig, dtype,
+            limits: Optional[_Limits] = None):
     """The traced LM loop; call inside jit with closed-over kernels."""
     from bundleadjustment_benchmarks_tpu.ops.projection import accumulation_dtype
 
     dtype = accumulation_dtype(dtype)
-    outer_cond, outer_step = _make_outer(prepare, trial, config, dtype)
+    if limits is None:
+        limits = _limits(config, dtype)
+    outer_cond, outer_step = _make_outer(prepare, trial, config, dtype, limits)
 
     def outer_body(st):
         new_st, _ = outer_step(st)
@@ -475,11 +520,12 @@ def lm_loop(state0, prepare, trial, config: LMConfig, dtype):
 
     init = _init_outer_state(state0, config, dtype)
     final = jax.lax.while_loop(outer_cond, outer_body, init)
-    return _finalize_limits(final, config)
+    return _finalize_limits(final, limits)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "config"))
-def _minimize_jit(state0, problem, mode: str, config: LMConfig):
+def _minimize_jit(state0, problem, limits: _Limits, mode: str,
+                  config: LMConfig):
     dtype = state0.T.dtype
     if config.geometry == "df32":
         fast0 = problem_mod.to_fast(state0)
@@ -491,7 +537,7 @@ def _minimize_jit(state0, problem, mode: str, config: LMConfig):
         trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
             ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl
         )
-        final = lm_loop(fast0, prepare, trial, config, dtype)
+        final = lm_loop(fast0, prepare, trial, config, dtype, limits)
         return final._replace(x=problem_mod.from_fast(final.x, dtype=dtype))
     prepare = lambda s: _prepare(  # noqa: E731
         s, problem, mode, config.matmul_dtype,
@@ -499,7 +545,7 @@ def _minimize_jit(state0, problem, mode: str, config: LMConfig):
     trial = lambda ctx, s, lam: _trial(  # noqa: E731
         ctx, s, lam, problem, mode, config.matmul_dtype
     )
-    return lm_loop(state0, prepare, trial, config, dtype)
+    return lm_loop(state0, prepare, trial, config, dtype, limits)
 
 
 # ----------------------------------------------------------------------------
@@ -531,12 +577,13 @@ def _make_kernels(problem, mode: str, config: LMConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "config"))
-def _run_chunk_jit(st: _OuterState, problem, mode: str, config: LMConfig):
+def _run_chunk_jit(st: _OuterState, limits: _Limits, problem, mode: str,
+                   config: LMConfig):
     """Run up to config.chunk_size outer LM iterations, recording per-
     iteration observables (_IterRecord) into a (chunk,) buffer."""
     prepare, trial, _ = _make_kernels(problem, mode, config)
     dtype = st.energy.dtype
-    outer_cond, outer_step = _make_outer(prepare, trial, config, dtype)
+    outer_cond, outer_step = _make_outer(prepare, trial, config, dtype, limits)
     chunk = config.chunk_size
     it_start = st.it
 
@@ -593,12 +640,15 @@ def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
     x0 = problem_mod.to_fast(state0) if is_fast else state0
     dtype = accumulation_dtype(state0.T.dtype)
     st = _init_outer_state(x0, config, dtype, resume=resume)
+    limits = _limits(config, dtype)
 
     # AOT-compile the chunk executable so no dispatch's timing includes XLA
     # compilation (ADVICE r2: the first chunk's compile tainted the per-trial
-    # estimate). Static args (mode, config) are baked into the executable.
+    # estimate). Static args (mode, canonicalized config) are baked into the
+    # executable; run-length knobs ride in as traced _Limits.
     t_compile = time.perf_counter()
-    chunk_exe = _run_chunk_jit.lower(st, problem, mode, config).compile()
+    chunk_exe = _run_chunk_jit.lower(
+        st, limits, problem, mode, _jit_key(config)).compile()
     compile_s = time.perf_counter() - t_compile
 
     if config.verbose:
@@ -633,7 +683,7 @@ def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
     while True:
         t0 = time.perf_counter()
         it_before = int(st.it)
-        st, recs = chunk_exe(st, problem)
+        st, recs = chunk_exe(st, limits, problem)
         status_i, it_i, fe_i = jax.device_get((st.status, st.it, st.fun_evals))
         chunk_wall = time.perf_counter() - t0
         n_done = int(it_i) - it_before
@@ -683,7 +733,7 @@ def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
     if metrics_f:
         metrics_f.close()
 
-    final = _finalize_limits(st, config)
+    final = _finalize_limits(st, limits)
     x = problem_mod.from_fast(final.x, dtype=state0.T.dtype) if is_fast else final.x
     status, it, fun_evals, energy, lam = jax.device_get(
         (final.status, final.it, final.fun_evals, final.energy, final.lam)
@@ -920,7 +970,8 @@ def minimize(
             res = res._replace(state=problem_mod.from_fast(res.state))
         return res
 
-    if config.verbose or checkpoint_path or metrics_path or resume:
+    if (config.verbose or checkpoint_path or metrics_path or resume
+            or config.chunked):
         return chunked_loop(
             state, problem, mode, config, resume=resume,
             checkpoint_path=checkpoint_path,
@@ -928,7 +979,11 @@ def minimize(
             metrics_path=metrics_path,
         )
 
-    final = _minimize_jit(state, problem, mode, config)
+    from bundleadjustment_benchmarks_tpu.ops.projection import accumulation_dtype
+
+    final = _minimize_jit(
+        state, problem, _limits(config, accumulation_dtype(state.T.dtype)),
+        mode, _jit_key(config))
     # ONE device->host transfer for all result scalars: per-field int()/
     # float() coercions each cost a full round trip (~25 ms through the
     # remote-device tunnel — measured ~0.13 s of pure sync on problem-21).
