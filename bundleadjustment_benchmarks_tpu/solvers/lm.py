@@ -615,7 +615,8 @@ def _run_chunk_jit(st: _OuterState, limits: _Limits, problem, mode: str,
 def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 0,
-                 metrics_path: Optional[str] = None):
+                 metrics_path: Optional[str] = None,
+                 metrics_phase: Optional[str] = None):
     """jit-drive LM with host-side observability between chunks.
 
     Each dispatch runs up to ``config.chunk_size`` outer iterations inside
@@ -662,18 +663,24 @@ def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
         if metrics_f:
             import json as _json
 
-            metrics_f.write(_json.dumps({
+            rec = {
                 "iter": it_, "status": status_, "f": f_, "rho": rho_,
                 "lambda": lam_, "elapsed_s": elapsed_,
                 "elapsed_kind": "avg_per_trial_chunk",
                 "synthesized": synthesized,
-            }) + "\n")
+            }
+            if metrics_phase:
+                rec["phase"] = metrics_phase
+            metrics_f.write(_json.dumps(rec) + "\n")
             metrics_f.flush()
 
     if metrics_f:
         import json as _json
 
-        metrics_f.write(_json.dumps({"compile_s": compile_s}) + "\n")
+        rec = {"compile_s": compile_s}
+        if metrics_phase:
+            rec["phase"] = metrics_phase
+        metrics_f.write(_json.dumps(rec) + "\n")
         metrics_f.flush()
 
     next_ckpt = None
@@ -700,7 +707,7 @@ def chunked_loop(state0, problem, mode: str, config: LMConfig, resume=None,
                 ntr = int(recs_h.n_trials[i])
                 for _ in range(ntr - (1 if acc_ else 0)):
                     if config.verbose:
-                        _output_iter(it_, "Rejected", f_, 0.0, lam, per_trial)
+                        _output_iter(it_, "Rejected", f_, None, lam, per_trial)
                     emit(it_, "Rejected", f_, None, lam, per_trial,
                          synthesized=True)
                     lam *= inc
@@ -769,14 +776,19 @@ def _output_iter_header():
 
 
 def _output_iter(it, status, fval, rho, lam, elapsed):
+    # rho=None marks a replayed Rejected row of the chunked drive whose true
+    # per-trial rho was not recorded on device (JSONL carries rho: null for
+    # it) — print a non-numeric placeholder instead of a misleading 0.0.
+    rho_s = f"{rho:>15.6g}" if rho is not None else f"{'-':>15}"
     print(
-        f"{it:>5}{status:>15}{fval:>15.6g}{rho:>15.6g}{lam:>15.6g}{elapsed:>14.4g}s"
+        f"{it:>5}{status:>15}{fval:>15.6g}{rho_s}{lam:>15.6g}{elapsed:>14.4g}s"
     )
 
 
 def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
               checkpoint_every: int = 0, checkpoint_path: Optional[str] = None,
-              metrics_path: Optional[str] = None):
+              metrics_path: Optional[str] = None,
+              metrics_phase: Optional[str] = None):
     """Python-driven LM loop around jitted kernels (verbose parity path).
 
     ``resume``: a dict from utils.checkpoint.load_checkpoint's meta (lam /
@@ -795,10 +807,13 @@ def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
         if metrics_f:
             import json as _json
 
-            metrics_f.write(_json.dumps({
+            rec = {
                 "iter": it_, "status": status_, "f": f_, "rho": rho_,
                 "lambda": lam_, "elapsed_s": elapsed_,
-            }) + "\n")
+            }
+            if metrics_phase:
+                rec["phase"] = metrics_phase
+            metrics_f.write(_json.dumps(rec) + "\n")
             metrics_f.flush()
 
     x = state0
@@ -913,6 +928,7 @@ def minimize(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     metrics_path: Optional[str] = None,
+    metrics_phase: Optional[str] = None,
 ) -> LMResult:
     """Run LM on a BA problem. ``mode`` selects the solver strategy
     (cholesky/qrchol/qrkit/moreqr/spqr), replacing the reference's five
@@ -931,13 +947,18 @@ def minimize(
         # Two-phase drive (LMConfig.polish_iters): fast-geometry descent to
         # its own stop, then a short full-f64 continuation from that iterate
         # to recover the f64 plateau depth the f32-formed steps cannot reach.
+        # JSONL records of the two phases are tagged phase=fast/polish (their
+        # iteration numbering restarts at 1 per phase); checkpointing carries
+        # into the polish phase so a crash there resumes near where it died
+        # (the resumed run re-enters via the fast phase, which immediately
+        # flatlines on the already-polished state and hands back to polish).
         fast_cfg = dataclasses.replace(
             config, polish_iters=0,
             tol_fun=max(config.tol_fun, config.polish_fast_tol))
         fast_res = minimize(
             problem, mode=mode, config=fast_cfg, state=state, resume=resume,
             checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-            metrics_path=metrics_path,
+            metrics_path=metrics_path, metrics_phase="fast",
         )
         polish_cfg = dataclasses.replace(
             config, polish_iters=0, geometry=None, matmul_dtype=None,
@@ -945,7 +966,8 @@ def minimize(
         )
         polish_res = minimize(
             problem, mode=mode, config=polish_cfg, state=fast_res.state,
-            metrics_path=metrics_path,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            metrics_path=metrics_path, metrics_phase="polish",
         )
         # MaxItersReached on the polish cap is a budget stop, not a failure:
         # report the fast phase's terminal status in that case.
@@ -965,6 +987,7 @@ def minimize(
             x0, prepare, trial, config, resume=resume,
             checkpoint_every=checkpoint_every,
             checkpoint_path=checkpoint_path, metrics_path=metrics_path,
+            metrics_phase=metrics_phase,
         )
         if is_fast:
             res = res._replace(state=problem_mod.from_fast(res.state))
@@ -976,7 +999,7 @@ def minimize(
             state, problem, mode, config, resume=resume,
             checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every or 25,
-            metrics_path=metrics_path,
+            metrics_path=metrics_path, metrics_phase=metrics_phase,
         )
 
     from bundleadjustment_benchmarks_tpu.ops.projection import accumulation_dtype

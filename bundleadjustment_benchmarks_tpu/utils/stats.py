@@ -43,11 +43,15 @@ def _error_stats_impl(state, obs, avg_focal_length, inlier_threshold):
     err = jnp.linalg.norm(avg_focal_length * (p - obs.measurements), axis=-1)
     inlier = err <= inlier_threshold
     n_inl = jnp.sum(inlier)
-    return (
-        jnp.mean(err),
-        jnp.sum(jnp.where(inlier, err, 0.0)) / n_inl,
-        n_inl,
+    # All-outlier guard: the reference divides unconditionally (Utils.h:38 —
+    # inlier mean would print nan); report 0 instead of NaN so downstream
+    # JSON/metrics stay finite on degenerate states.
+    inl_mean = jnp.where(
+        n_inl > 0,
+        jnp.sum(jnp.where(inlier, err, 0.0)) / jnp.maximum(n_inl, 1),
+        jnp.zeros((), err.dtype),
     )
+    return (jnp.mean(err), inl_mean, n_inl)
 
 
 def error_statistics(state, obs, avg_focal_length, inlier_threshold) -> ErrorStats:
