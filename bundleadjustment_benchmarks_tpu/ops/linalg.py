@@ -204,7 +204,9 @@ def eigh3x3_sym(A: jax.Array) -> tuple[jax.Array, jax.Array]:
     return evals, evecs
 
 
-def mgs_qr3(A: jax.Array, eps: float = 0.0) -> tuple[jax.Array, jax.Array]:
+def mgs_qr3(
+    A: jax.Array, eps: float = 0.0, zero_deficient: bool = False
+) -> tuple[jax.Array, jax.Array]:
     """Thin QR of (..., m, 3) blocks via modified Gram-Schmidt, unrolled.
 
     Returns (Q (..., m, 3), R (..., 3, 3) upper-triangular with non-negative
@@ -212,24 +214,43 @@ def mgs_qr3(A: jax.Array, eps: float = 0.0) -> tuple[jax.Array, jax.Array]:
     be padded to a static m. ``eps`` guards rank-deficient columns (the
     augmented [J; sqrt(lambda) I] stacking keeps blocks full-rank for
     lambda > 0, so the default 0 is exact).
+
+    ``zero_deficient=True``: rank-guard for UNaugmented (lambda-free) stacks —
+    pivots below ~sqrt(eps) of the block's scale produce an exactly-ZERO Q
+    column and R row, so Q's columns are orthonormal-or-zero and downstream
+    projections (I - Q Q^T) / cross products stay exact for rank-deficient
+    point blocks (e.g. single-observation points, rank <= 2).
     """
-    def norm(v):
-        n = jnp.sqrt(jnp.sum(v * v, axis=-1))
-        return jnp.maximum(n, eps) if eps else n
+    if zero_deficient:
+        fro = jnp.sqrt(jnp.sum(A * A, axis=(-2, -1)))
+        tol = jnp.sqrt(jnp.finfo(A.dtype).eps).astype(A.dtype) * fro
+        tiny = jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
+
+        def pivot(v):
+            n = jnp.sqrt(jnp.sum(v * v, axis=-1))
+            ok = n > tol
+            q = jnp.where(
+                ok[..., None], v / jnp.maximum(n, tiny)[..., None], 0.0
+            )
+            return jnp.where(ok, n, 0.0), q
+
+    else:
+
+        def pivot(v):
+            n = jnp.sqrt(jnp.sum(v * v, axis=-1))
+            n = jnp.maximum(n, eps) if eps else n
+            return n, v / n[..., None]
 
     a1, a2, a3 = A[..., 0], A[..., 1], A[..., 2]
-    r11 = norm(a1)
-    q1 = a1 / r11[..., None]
+    r11, q1 = pivot(a1)
     r12 = jnp.sum(q1 * a2, axis=-1)
     v2 = a2 - r12[..., None] * q1
-    r22 = norm(v2)
-    q2 = v2 / r22[..., None]
+    r22, q2 = pivot(v2)
     r13 = jnp.sum(q1 * a3, axis=-1)
     v3 = a3 - r13[..., None] * q1
     r23 = jnp.sum(q2 * v3, axis=-1)
     v3 = v3 - r23[..., None] * q2
-    r33 = norm(v3)
-    q3 = v3 / r33[..., None]
+    r33, q3 = pivot(v3)
     Q = jnp.stack([q1, q2, q3], axis=-1)
     zero = jnp.zeros_like(r11)
     R = jnp.stack(

@@ -383,6 +383,7 @@ def make_sharded_kernels(
             mm_dtype=mm,
             stack_f32=stack_f32,
             gram_f64=gram_f64,
+            cached_camera=False,
         )
         U = jax.lax.psum(ctx.U, axis)
         g_cams = jax.lax.psum(ctx.g_cams, axis)
@@ -405,8 +406,8 @@ def make_sharded_kernels(
         g_pts=P(axis),
         max_colnorm_sq=P(),
         Jp_stacked=P(axis) if point_factor == "qr" else None,
-        Jc_stacked=P(axis) if (point_factor, camera_solver) == ("qr", "qr") else None,
-        rhs_stacked=P(axis) if (point_factor, camera_solver) == ("qr", "qr") else None,
+        Jc_stacked=P(axis) if camera_solver in ("qr_cached", "qr_full") else None,
+        rhs_stacked=P(axis) if camera_solver in ("qr_cached", "qr_full") else None,
         evecs=P(axis) if want_eig else None,
         evals=P(axis) if want_eig else None,
         WQ=P(axis) if (point_factor == "eig" and not use_pairs) else None,
@@ -584,6 +585,7 @@ def make_sharded_kernels(
                 mm_dtype=mm,
                 stack_f32=stack_f32,
                 gram_f64=gram_f64,
+                cached_camera=False,
             )
             U = jax.lax.psum(ctx.U, axis)
             g_cams = jax.lax.psum(ctx.g_cams, axis)

@@ -27,27 +27,58 @@ the block structure those CPU factorizations exploit symbolically:
                          (D + lambda)^-1 in the cached eigenbasis, so the
                          expensive work amortizes across damping trials — the
                          TPU-native analog of More's cached-R refactor
-  camera solve   'chol': dense Cholesky of the reduced camera system
-                         S = blkdiag(U_c + lambda I) - Z^T Z  (9N x 9N)
-                 'qr':   chunked tall-skinny QR (TSQR) over the
-                         point-projected camera rows — the DenseBlockedThinQR
-                         / SPQR analog, avoids forming S = B^T B
+  camera solve   'chol':      dense Cholesky of the reduced camera system
+                              S = blkdiag(U_c + lambda I) - Z^T Z  (9N x 9N)
+                 'qr_cached': (qrkit) Moré-style cached camera QR: ONE
+                              lambda-free factorization per outer iteration —
+                              rank-guarded MGS QR of the raw point stacks
+                              (Q1_0, Rpp), the projected-camera compression
+                              Rcc (R-only CholeskyQR of the lambda-free
+                              reduced gram), and the cross rows
+                              QtRpc = Qh^T Q1_0^T [A_cam | b] — then per
+                              damping trial only a SMALL row-QR of
+                              [Rcc; sqrt(lam/(eh+lam)) QtRpc; sqrt(lam) I]
+                              (_redamp_qr). The TPU re-design of the
+                              reference's DenseBlockedThinQR camera stage
+                              (BAFunctor.h:98-102) with Moré's factor-once /
+                              re-damp-cheap trick (BacktrackLevMarqMore.h:
+                              287-328) applied at the camera level.
+                 'qr_full':   (spqr) whole-matrix augmented QR, re-factored
+                              from scratch EVERY damping trial (SuiteSparse
+                              SPQR semantics — the fork's BacktrackLevMarq
+                              calls SPQR per trial, BAFunctor.h:114-116):
+                              batched orthogonal MGS QR of the augmented
+                              point panels + chunked TSQR over the projected
+                              camera rows (camera_tsqr_reduce). On TPU in
+                              f64, where emulated Householder panels run
+                              ~150x slower than f64 matmuls (BASELINE.md
+                              round-4 probes), the camera-stage reduction
+                              runs in R-only CholeskyQR form
+                              (_spqr_gram_solve) — same factorization, MXU
+                              arithmetic; the f32/df32 drives keep true
+                              Householder chunks.
 
 Z is the (3M x 9N) matrix of point-whitened coupling blocks C_i = W_i L_p^-T
 scattered at (point-row, camera-col); Z^T Z = sum_p W_p Vhat_p^-1 W_p^T is one
 big MXU matmul instead of a sparse triangular solve.
 
-Mode mapping:  cholesky=(chol, chol)  qrchol=(qr, chol)  qrkit=(qr, qr)
-               spqr=(qr, qr) [whole-matrix QR solve: documented equivalence —
-               SuiteSparse is neither portable nor available; the augmented
-               block QR solves the identical least-squares problem]
-               moreqr=(eig, chol)
+Mode mapping:  cholesky=(chol, chol)   qrchol=(qr, chol)
+               qrkit=(qr, qr_cached)   spqr=(qr, qr_full)   moreqr=(eig, chol)
+
+The qr_cached identity (why the per-trial re-damp is exact): after the
+lambda-free QR of [J | b], the damped camera system's gram is
+    S(lam) = Rcc^T Rcc + lam I + lam * Rpc^T (Rpp Rpp^T + lam I)^-1 Rpc
+(derivation: I - Rpp (Rpp^T Rpp + lam I)^-1 Rpp^T = lam (Rpp Rpp^T + lam I)^-1
+for the square 3x3 Rpp), so with Rpp Rpp^T = Qh diag(eh) Qh^T the fill-in of
+eliminating the damped point columns is EXACTLY the rows
+sqrt(lam/(eh+lam)) . Qh^T Rpc — a diagonal rescaling of the cached QtRpc.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -58,12 +89,15 @@ from bundleadjustment_benchmarks_tpu.ops.jacobian import JacobianBlocks
 
 MODES = ("cholesky", "qrchol", "qrkit", "moreqr", "spqr")
 
-#: (point_factor, camera_solver) per mode.
+#: (point_factor, camera_solver) per mode. qrkit and spqr are DISTINCT
+#: realizations (VERDICT r3 item 2): qrkit caches the lambda-free camera QR
+#: per outer iteration and re-damps per trial; spqr re-factors the whole
+#: augmented matrix every trial (SuiteSparse call semantics).
 MODE_STRATEGY = {
     "cholesky": ("chol", "chol"),
     "qrchol": ("qr", "chol"),
-    "qrkit": ("qr", "qr"),
-    "spqr": ("qr", "qr"),
+    "qrkit": ("qr", "qr_cached"),
+    "spqr": ("qr", "qr_full"),
     "moreqr": ("eig", "chol"),
 }
 
@@ -108,6 +142,11 @@ class SchurContext:
     row_pt: Optional[jax.Array] = None  # (R, Lrow) point of pair, sentinel M
     cam_pt: Optional[object] = None  # (N, Lcam) point of slot, sentinel M
     cam_unperm: Optional[jax.Array] = None  # (N,) band order -> camera order
+    # 'qr_cached' camera solver (qrkit): lambda-free factors cached per outer
+    # iteration (see the module docstring's qr_cached identity).
+    QtRpc: Optional[jax.Array] = None  # (M, 3, 9N+1) Qh^T Q1_0^T [A_cam | b]
+    fill_evals: Optional[jax.Array] = None  # (M, 3) eig of Rpp Rpp^T, >= 0
+    Rcc_aug: Optional[jax.Array] = None  # (9N+1, 9N+1) lambda-free camera R
 
 
 def _scatter_z(Ct: jax.Array, cam_idx, pt_idx, n_cameras: int, n_points: int):
@@ -645,9 +684,126 @@ def _schur_gram(C, w, y, problem, n_cameras: int, mm):
     )
 
 
+def _cam_per_slot(problem):
+    """(M, Lmax) camera index of each point-table slot (sentinel -> camera 0,
+    whose row data is zero for padded slots — harmless)."""
+    cam_idx = problem.obs.cam_idx
+    cam_ext = jnp.concatenate([cam_idx, jnp.zeros((1,), cam_idx.dtype)])
+    return cam_ext[problem.pt_obs_idx]
+
+
+def _point_row_blocks(Q1, Jc_stacked, rhs_stacked, Qh=None):
+    """Per-slot projected camera blocks + rhs rows of the left point QR.
+
+    For point m, slot l (one observation, two residual rows):
+        B[m, l] = Qh_m^T Q1[m, 2l:2l+2]^T Jc_stacked[m, 2l:2l+2]   (3, 9)
+        c[m]    = Qh_m^T Q1_obs[m]^T rhs_stacked[m]                (3,)
+    i.e. the rows Rpc_p = Q1^T [A_cam | b] of the whole-matrix R factor,
+    decomposed per observed camera (each slot's rows live in ONE camera's
+    block-columns), optionally rotated into the Qh eigenbasis. Q1's trailing
+    lambda rows (if any) multiply zero camera columns and zero rhs, so only
+    the observation rows participate — exact.
+    """
+    m_pts, two_l, _ = Jc_stacked.shape
+    lmax = two_l // 2
+    Q1o = Q1[:, :two_l, :].reshape(m_pts, lmax, 2, 3)
+    Jc4 = Jc_stacked.reshape(m_pts, lmax, 2, 9)
+    B = jnp.einsum("mlrc,mlrj->mlcj", Q1o, Jc4)  # (M, Lmax, 3, 9)
+    c = jnp.einsum(
+        "mlrc,mlr->mc", Q1o, rhs_stacked.reshape(m_pts, lmax, 2)
+    )  # (M, 3)
+    if Qh is not None:
+        B = jnp.einsum("mdc,mldj->mlcj", Qh, B)
+        c = jnp.einsum("mdc,md->mc", Qh, c)
+    return B, c
+
+
+def _place_rows_or_gram(B, c, cam_per_slot, n_cameras: int, mm,
+                        want_rows: bool, chunk: int = 2048):
+    """Place per-slot (3, 9) blocks at their dense camera block-columns with
+    an appended rhs column — scatter-free one-hot placement, chunked over
+    points (the same placement pattern as camera_tsqr_reduce, but on 3-row
+    point panels instead of 2Lmax-row observation stacks: ~Lmax/1.5x less
+    placed data).
+
+    Returns the placed rows (M, 3, 9N+1) when ``want_rows``, else their
+    accumulated gram (9N+1, 9N+1) in the accumulation dtype.
+    """
+    m_pts, lmax = cam_per_slot.shape
+    ncols = 9 * n_cameras + 1
+    acc = jnp.float32 if jnp.dtype(mm) == jnp.bfloat16 else jnp.dtype(mm)
+    chunk = max(1, min(chunk, m_pts))
+    nch = -(-m_pts // chunk)
+    pad = nch * chunk - m_pts
+    Bp = jnp.pad(
+        B.astype(mm), ((0, pad), (0, 0), (0, 0), (0, 0))
+    ).reshape(nch, chunk, lmax, 3, 9)
+    cp = jnp.pad(c.astype(mm), ((0, pad), (0, 0))).reshape(nch, chunk, 3)
+    camp = jnp.pad(cam_per_slot, ((0, pad), (0, 0))).reshape(nch, chunk, lmax)
+    ar = jnp.arange(n_cameras, dtype=cam_per_slot.dtype)
+
+    def body(carry, inp):
+        Bc, cc, cam = inp
+        onehot = (cam[..., None] == ar).astype(mm)  # (P, L, N)
+        rows = jnp.einsum("pln,plcj->pcnj", onehot, Bc)
+        rows = rows.reshape(chunk, 3, 9 * n_cameras)
+        rows = jnp.concatenate([rows, cc[..., None]], axis=-1)
+        if want_rows:
+            return carry, rows
+        flat = rows.reshape(chunk * 3, ncols)
+        G = jax.lax.dot_general(
+            flat, flat, (((0,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        return carry + G, None
+
+    if want_rows:
+        _, rows = jax.lax.scan(body, jnp.zeros((), acc), (Bp, cp, camp))
+        return rows.reshape(nch * chunk, 3, ncols)[:m_pts]
+    G, _ = jax.lax.scan(
+        body, jnp.zeros((ncols, ncols), acc), (Bp, cp, camp)
+    )
+    return G
+
+
+def _aug_camera_gram(U, g_cams, energy, dtype):
+    """Gram of the augmented camera rows [A_cam | b]: blkdiag(U) with the
+    gradient as rhs column and b^T b = ||f||^2 in the corner."""
+    n = U.shape[0]
+    ncols = 9 * n + 1
+    Ua = jnp.zeros((ncols, ncols), dtype)
+    U4 = Ua[: 9 * n, : 9 * n].reshape(n, 9, n, 9)
+    ar = jnp.arange(n)
+    U4 = U4.at[ar, :, ar, :].set(U.astype(dtype))
+    Ua = Ua.at[: 9 * n, : 9 * n].set(U4.reshape(9 * n, 9 * n))
+    g = g_cams.reshape(-1).astype(dtype)
+    Ua = Ua.at[: 9 * n, 9 * n].set(g)
+    Ua = Ua.at[9 * n, : 9 * n].set(g)
+    return Ua.at[9 * n, 9 * n].set(jnp.asarray(energy, dtype))
+
+
+def _gram_sqrt_factor(S):
+    """Rows C with C^T C ~= S for symmetric PSD-up-to-rounding S, via a
+    Jacobi-scaled clamped eigendecomposition.
+
+    The Schur subtraction U - sum Rpc^T Rpc is PSD in exact arithmetic but
+    rounding leaves ~eps-relative indefiniteness that a plain Cholesky turns
+    into NaN; clamping the scaled eigenvalues at 0 factors the nearest PSD
+    matrix instead. Any gram-representative row set is equally valid for the
+    downstream row-QR (orthogonal invariance)."""
+    d = jnp.diagonal(S)
+    dinv = jnp.where(
+        d > 0, jax.lax.rsqrt(jnp.abs(d) + jnp.finfo(S.dtype).tiny), 1.0
+    )
+    Ss = S * dinv[:, None] * dinv[None, :]
+    w, V = jnp.linalg.eigh((Ss + Ss.T) / 2)
+    C = jnp.sqrt(jnp.maximum(w, 0.0))[:, None] * V.T
+    return C / dinv[None, :]
+
+
 def build_context(
     blocks: JacobianBlocks, problem, mode: str, mm_dtype=None,
     stack_f32: bool = False, gram_f64: bool = False,
+    cached_camera: bool = True,
 ) -> SchurContext:
     """Assemble normal-equation blocks + mode-specific cached factors from J.
 
@@ -665,6 +821,11 @@ def build_context(
     compile-cache-keyed): keep the cached pair-gram stacks in the matmul
     dtype instead of bf16, and form the segment grams (U, V, g) in f64
     regardless of the blocks' dtype.
+
+    ``cached_camera=False`` skips the qrkit lambda-free camera-QR cache
+    (QtRpc/Rcc_aug) — the sharded local views use it because those factors
+    reduce over the GLOBAL camera gram; the distributed drive runs both QR
+    modes through the all-gathered TSQR instead (parallel/sharded.py).
     """
     obs = problem.obs
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
@@ -719,19 +880,62 @@ def build_context(
     Jp_stacked = Jc_stacked = rhs_stacked = None
     evecs = evals = WQ = y0 = None
 
+    QtRpc = fill_evals = Rcc_aug = None
     if point_factor == "qr" :
         # Gather each point's observation rows into a padded static-shape
         # stack; sentinel index K gathers an all-zero row (harmless in QR).
         lmax = problem.pt_obs_idx.shape[1]
         Jp_ext = jnp.concatenate([Jp, jnp.zeros((1, 2, 3), Jp.dtype)], axis=0)
         Jp_stacked = Jp_ext[problem.pt_obs_idx].reshape(m, 2 * lmax, 3)
-        if camera_solver == "qr":
+        if camera_solver in ("qr_cached", "qr_full"):
             Jc_ext = jnp.concatenate([Jc, jnp.zeros((1, 2, 9), Jc.dtype)], axis=0)
             f_ext = jnp.concatenate([f, jnp.zeros((1, 2), f.dtype)], axis=0)
             Jc_stacked = Jc_ext[problem.pt_obs_idx].reshape(m, 2 * lmax, 9).astype(mm)
             rhs_stacked = (
                 (-f_ext[problem.pt_obs_idx]).reshape(m, 2 * lmax).astype(mm)
             )
+        if camera_solver == "qr_cached" and cached_camera:
+            # Moré-cached camera QR (qrkit; VERDICT r3 item 1): everything
+            # lambda-INDEPENDENT of the whole-matrix QR factorization is
+            # built here, once per outer iteration; damping trials only
+            # rescale the cached cross rows and run a small row-QR
+            # (_redamp_qr). Matches BacktrackLevMarqMore.h:287-328 (factor
+            # once, re-damp cheap) + BAFunctor.h:101 (the camera thin QR).
+            #
+            #   Q1_0, Rpp : rank-guarded MGS QR of the RAW point stacks (no
+            #               lambda rows, orthogonal — V is never squared);
+            #   Qh, eh    : closed-form eigenbasis of Rpp Rpp^T;
+            #   QtRpc     : placed cross rows Qh^T Q1_0^T [A_cam | b];
+            #   Rcc_aug   : gram-sqrt of U_aug - sum QtRpc^T QtRpc (the
+            #               lambda-free projected camera gram, R-only
+            #               CholeskyQR — emulated-f64 Householder panels are
+            #               ~150x slower than f64 matmuls on TPU).
+            Q1_0, Rpp = linalg.mgs_qr3(Jp_stacked, zero_deficient=True)
+            acc_e = jnp.float64 if jax.config.jax_enable_x64 else Jp.dtype
+            eh_raw, Qh64 = linalg.eigh3x3_sym(
+                jnp.einsum("mij,mkj->mik", Rpp, Rpp).astype(acc_e)
+            )
+            fill_evals = jnp.maximum(eh_raw, 0.0).astype(f.dtype)
+            Qh = Qh64.astype(Jp.dtype)
+            Bq, cq = _point_row_blocks(Q1_0, Jc_stacked, rhs_stacked, Qh=Qh)
+            cam_slot = _cam_per_slot(problem)
+            QtRpc = _place_rows_or_gram(
+                Bq, cq, cam_slot, n, mm, want_rows=True
+            )
+            flat = QtRpc.reshape(3 * m, 9 * n + 1)
+            acc_g = jnp.float32 if jnp.dtype(mm) == jnp.bfloat16 else jnp.dtype(mm)
+            G_sum = jax.lax.dot_general(
+                flat, flat, (((0,), (0,)), ((), ())),
+                preferred_element_type=acc_g,
+            )
+            energy = jnp.sum(
+                f.astype(acc_g) * f.astype(acc_g), dtype=acc_g
+            )
+            U_aug = _aug_camera_gram(U, g_cams, energy, acc_g)
+            # b = -J^T f is the NEGATED gradient; the rhs column carries
+            # b = -f, whose camera gram column is A_cam^T(-f) = g_cams.
+            S0_aug = U_aug - G_sum
+            Rcc_aug = _gram_sqrt_factor(S0_aug).astype(mm)
     pairs = getattr(problem, "pairs", None)
     if pairs is not None and getattr(problem, "cam_obs_pt", None) is None:
         pairs = None  # duck-typed views without the weight tables
@@ -819,6 +1023,9 @@ def build_context(
         row_pt=row_pt,
         cam_pt=cam_pt,
         cam_unperm=cam_unperm,
+        QtRpc=QtRpc,
+        fill_evals=fill_evals,
+        Rcc_aug=Rcc_aug,
     )
 
 
@@ -1042,7 +1249,12 @@ def solve_damped(
     if camera_solver == "chol":
         S, b = _reduced_system_chol(ctx, lam, problem, n, m, Linv, mm)
         dxc = _camera_solve_chol(S, b).reshape(n, 9)
+    elif camera_solver == "qr_cached" and ctx.Rcc_aug is not None:
+        # qrkit: Moré-cached camera QR, cheap per-trial re-damp.
+        dxc = _camera_solve_qr_cached(ctx, lam, n).reshape(n, 9)
     else:
+        # spqr (whole-matrix QR per trial) — and the no-cache fallback for
+        # qr_cached contexts built with cached_camera=False (sharded views).
         dxc = camera_solve_qr(ctx, lam, problem, Linv, mm_dtype=mm).reshape(n, 9)
 
     # Shared back-substitution: Vhat dx_p = g_p - sum_i W_i^T dx_c(i).
@@ -1052,10 +1264,101 @@ def solve_damped(
     return dxp, dxc
 
 
+def _redamp_qr(Rcc_aug, QtRpc, fill_evals, lam, chunk_rows: int = 12288):
+    """Per-trial re-damp of the cached camera QR (qrkit inner work item).
+
+    Row-QR of [Rcc_aug; sqrt(lam/(eh+lam)) QtRpc; sqrt(lam) I_9N | 0] — the
+    exact damped reduced camera system (module docstring identity), built
+    from cached lambda-free factors by a diagonal rescale. 3M + 2(9N) + 1
+    rows instead of the ~M(2Lmax+3) of a from-scratch trial: the Moré
+    re-damp at the camera level (BacktrackLevMarqMore.h:293-328)."""
+    dtype = Rcc_aug.dtype
+    ncols = Rcc_aug.shape[0]
+    n9 = ncols - 1
+    lam_e = jnp.asarray(lam, fill_evals.dtype)
+    scale = jnp.sqrt(lam_e / (fill_evals + lam_e)).astype(dtype)  # (M, 3)
+    F = (QtRpc * scale[..., None]).reshape(-1, ncols)
+    sl = jnp.sqrt(jnp.asarray(lam, dtype))
+    lam_rows = jnp.concatenate(
+        [sl * jnp.eye(n9, dtype=dtype), jnp.zeros((n9, 1), dtype)], axis=1
+    )
+    R0 = jnp.linalg.qr(
+        jnp.concatenate([Rcc_aug, lam_rows], axis=0), mode="r"
+    )
+    rows = F.shape[0]
+    chunk = max(ncols, min(chunk_rows, rows))
+    nch = -(-rows // chunk)
+    F = jnp.pad(F, ((0, nch * chunk - rows), (0, 0)))
+
+    def body(carry, blk):
+        return (
+            jnp.linalg.qr(jnp.concatenate([carry, blk], axis=0), mode="r"),
+            None,
+        )
+
+    R, _ = jax.lax.scan(body, R0, F.reshape(nch, chunk, ncols))
+    return R
+
+
+def _camera_solve_qr_cached(ctx: SchurContext, lam, n: int):
+    """qrkit camera step from the cached lambda-free QR factors."""
+    R = _redamp_qr(ctx.Rcc_aug, ctx.QtRpc, ctx.fill_evals, lam)
+    Rd = R.astype(ctx.U.dtype)
+    n9 = 9 * n
+    return linalg.solve_upper_triangular(Rd[:n9, :n9], Rd[:n9, n9])
+
+
+def _spqr_gram_solve(ctx: SchurContext, lam, problem, n: int):
+    """Whole-matrix augmented QR trial in R-only CholeskyQR form (f64/TPU).
+
+    SuiteSparse-SPQR call semantics (BAFunctor.h:114-116): the ENTIRE damped
+    matrix [J; sqrt(lam) I | b] is re-factored from scratch — batched
+    orthogonal MGS QR of each augmented point panel (Q1(lam)), projection of
+    the camera rows, then the camera-stage reduction. On TPU, emulated-f64
+    Householder panels run ~150x slower than f64 matmuls (BASELINE.md r4
+    probes), so the f64 camera reduction accumulates the projected-row gram
+    (R-only CholeskyQR — B^T B = U_aug - Rpc(lam)^T Rpc(lam), exact by the
+    projector identity) and solves with the Jacobi-scaled refined solver.
+    The f32/df32 drives keep true Householder chunks (camera_tsqr_reduce).
+    """
+    dtype = ctx.U.dtype
+    m = ctx.V.shape[0]
+    sdt = ctx.Jp_stacked.dtype
+    sl = jnp.sqrt(jnp.asarray(lam, sdt))
+    lam_rows = jnp.broadcast_to(sl * jnp.eye(3, dtype=sdt), (m, 3, 3))
+    A = jnp.concatenate([ctx.Jp_stacked, lam_rows], axis=1)
+    Q1, _ = linalg.mgs_qr3(A)
+    B, c = _point_row_blocks(Q1, ctx.Jc_stacked, ctx.rhs_stacked)
+    G = _place_rows_or_gram(
+        B, c, _cam_per_slot(problem), n, dtype, want_rows=False
+    )
+    # Corner energy is irrelevant to the solve (only S[:9N,:9N] and the rhs
+    # column are consumed).
+    U_aug = _aug_camera_gram(ctx.U, ctx.g_cams, 0.0, G.dtype)
+    S_aug = U_aug - G
+    n9 = 9 * n
+    Scam = S_aug[:n9, :n9] + jnp.asarray(lam, G.dtype) * jnp.eye(n9, dtype=G.dtype)
+    b = S_aug[:n9, n9]
+    return _camera_solve_chol(Scam.astype(dtype), b.astype(dtype))
+
+
 def camera_solve_qr(
     ctx: SchurContext, lam, problem, Linv, chunk_points: int = 512, mm_dtype=None
 ):
-    """Genuine QR camera solve (see camera_tsqr_reduce for the reduction)."""
+    """Whole-matrix QR camera solve, re-factored per trial (spqr; also the
+    distributed fallback for both QR modes — see parallel/sharded.py).
+
+    f32/df32: genuine chunked Householder TSQR (camera_tsqr_reduce).
+    f64 on TPU: R-only CholeskyQR form (_spqr_gram_solve) — same
+    factorization, MXU arithmetic; set BA_F64_ROWQR=1 to force the (slow)
+    emulated Householder path."""
+    red = jnp.dtype(mm_dtype or ctx.U.dtype)
+    if (
+        red == jnp.float64
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("BA_F64_ROWQR")
+    ):
+        return _spqr_gram_solve(ctx, lam, problem, problem.n_cameras)
     R_reduced = camera_tsqr_reduce(
         ctx, lam, problem, Linv, chunk_points, mm_dtype=mm_dtype
     )

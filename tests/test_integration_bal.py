@@ -20,10 +20,10 @@ from bundleadjustment_benchmarks_tpu.solvers import lm
 from conftest import problem21  # noqa: F401  (fixture)
 
 #: (mode -> final Sum psi energy after 6 LM iterations, f64 oracle).
-#: qrkit and spqr are numerically identical by construction: spqr is the
-#: augmented block QR with documented equivalence (SURVEY.md section 2.2,
-#: /root/reference/src/Optimization/BAFunctor.h:114-116), so both pin the
-#: same value — the test still runs both to catch a mode-dispatch regression.
+#: qrkit (Moré-cached camera QR) and spqr (whole-matrix QR per trial) are
+#: DISTINCT realizations since round 4 (schur.MODE_STRATEGY) that solve the
+#: same damped system; both must stay within tolerance of the recorded
+#: value — the shared oracle pins their mutual and historical parity.
 ORACLE_6ITER = {
     "cholesky": 1571.7996228190314,
     "qrchol": 1571.083942269066,

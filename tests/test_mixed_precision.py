@@ -32,14 +32,18 @@ def test_mixed_solve_close_to_f64(mode):
     )
     # f32 matmul roundoff is amplified by the reduced system's (Jacobi-
     # scaled) conditioning; ~1e-3 relative agreement is the expected regime,
-    # and LM-level convergence (below) is the functional criterion.
+    # and LM-level convergence (below) is the functional criterion. qrkit's
+    # cached camera factor adds one more f32 gram formation
+    # (Rcc = gram-sqrt of U - sum QtRpc^T QtRpc, schur.build_context), so
+    # its budget is 2x the direct modes'.
+    tol = 2e-2 if mode == "qrkit" else 1e-2
     scale = float(np.abs(np.asarray(dxc64)).max())
     np.testing.assert_allclose(
-        np.asarray(dxc32), np.asarray(dxc64), atol=1e-2 * scale
+        np.asarray(dxc32), np.asarray(dxc64), atol=tol * scale
     )
     np.testing.assert_allclose(
         np.asarray(dxp32), np.asarray(dxp64),
-        atol=1e-2 * float(np.abs(np.asarray(dxp64)).max()),
+        atol=tol * float(np.abs(np.asarray(dxp64)).max()),
     )
 
 

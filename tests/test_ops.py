@@ -193,6 +193,26 @@ class TestLinalg:
         _, R2 = linalg.mgs_qr3(Apad[None])
         np.testing.assert_allclose(R1, R2, atol=1e-12)
 
+    def test_mgs_qr3_zero_deficient_rank2(self):
+        """Rank-guarded MGS (qrkit's lambda-free point QR): a rank-2 block
+        must produce an exactly-zero third Q column and R row, with Q's
+        columns orthonormal-or-zero and R^T R == A^T A preserved."""
+        rng = np.random.default_rng(12)
+        base = rng.normal(size=(6, 2))
+        mix = rng.normal(size=(2, 3))
+        A = jnp.asarray(base @ mix)[None]  # (1, 6, 3) rank 2
+        Q, R = linalg.mgs_qr3(A, zero_deficient=True)
+        assert np.all(np.isfinite(np.asarray(Q)))
+        np.testing.assert_allclose(np.asarray(Q[0, :, 2]), 0.0, atol=0)
+        np.testing.assert_allclose(np.asarray(R[0, 2, :]), 0.0, atol=0)
+        QtQ = np.asarray(jnp.swapaxes(Q, -1, -2) @ Q)[0]
+        np.testing.assert_allclose(QtQ[:2, :2], np.eye(2), atol=1e-12)
+        np.testing.assert_allclose(
+            jnp.swapaxes(R, -1, -2) @ R,
+            jnp.swapaxes(A, -1, -2) @ A,
+            rtol=1e-10, atol=1e-12,
+        )
+
     def test_tsqr(self):
         rng = np.random.default_rng(10)
         A = jnp.asarray(rng.normal(size=(1000, 7)))

@@ -103,6 +103,80 @@ def test_pair_gram_single_obs_points_fallback():
     assert np.all(np.isfinite(np.asarray(dxc)))
 
 
+@pytest.mark.parametrize("mode", ["qrkit", "spqr"])
+@pytest.mark.parametrize("lam", [1e-4, 1.0])
+def test_qr_modes_rank_deficient_points(mode, lam):
+    """Single-observation points (rank-2 Jp blocks) must not break the QR
+    camera modes: qrkit's lambda-free MGS QR is rank-guarded (zero columns),
+    spqr's augmented panels are full-rank for lambda > 0."""
+    problem = make_synthetic_problem(
+        n_cameras=3, n_points=8, obs_per_point=1, seed=1
+    )
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, mode)
+    dxp, dxc = schur.solve_damped(ctx, lam, problem, mode)
+    J, _ = dense_jacobian_analytic(problem)
+    f = np.asarray(blocks.f).reshape(-1)
+    A = J.T @ J + lam * np.eye(J.shape[1])
+    b = -J.T @ f
+    dx = np.concatenate([np.asarray(dxp).reshape(-1), np.asarray(dxc).reshape(-1)])
+    assert np.all(np.isfinite(dx)), mode
+    rel = np.linalg.norm(A @ dx - b) / np.linalg.norm(b)
+    assert rel < 1e-7, (mode, lam, rel)
+
+
+@pytest.mark.parametrize("lam", [1e-6, 1e-2, 10.0])
+def test_spqr_gram_form_matches_dense(lam):
+    """The f64-on-TPU realization of spqr (R-only CholeskyQR form,
+    schur._spqr_gram_solve) must solve the same damped system as the
+    Householder row-TSQR it replaces — tested directly here because the
+    dispatch in camera_solve_qr only routes to it on a TPU backend."""
+    problem = make_synthetic_problem(n_cameras=4, n_points=10, obs_per_point=3, seed=5)
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, "spqr")
+    dxc = np.asarray(
+        schur._spqr_gram_solve(ctx, lam, problem, problem.n_cameras)
+    ).reshape(-1, 9)
+    # Oracle camera step: Schur complement of the dense damped system.
+    J, _ = dense_jacobian_analytic(problem)
+    f = np.asarray(blocks.f).reshape(-1)
+    A = J.T @ J + lam * np.eye(J.shape[1])
+    b = -J.T @ f
+    m3 = 3 * problem.n_points
+    App, Apc = A[:m3, :m3], A[:m3, m3:]
+    Acc = A[m3:, m3:]
+    S = Acc - Apc.T @ np.linalg.solve(App, Apc)
+    rhs = b[m3:] - Apc.T @ np.linalg.solve(App, b[:m3])
+    rel = np.linalg.norm(S @ dxc.reshape(-1) - rhs) / np.linalg.norm(rhs)
+    assert rel < 1e-7, (lam, rel)
+
+
+def test_qrkit_cache_is_lambda_free():
+    """qrkit's cached factors must be lambda-independent: one context serves
+    every damping trial (the Moré factor-once property, VERDICT r3 item 1)."""
+    problem = make_synthetic_problem(n_cameras=4, n_points=10, obs_per_point=3, seed=7)
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, "qrkit")
+    assert ctx.QtRpc is not None and ctx.Rcc_aug is not None
+    J, _ = dense_jacobian_analytic(problem)
+    f = np.asarray(blocks.f).reshape(-1)
+    for lam in (1e-5, 3e-2, 7.0):  # one cache, three trials
+        dxp, dxc = schur.solve_damped(ctx, lam, problem, "qrkit")
+        A = J.T @ J + lam * np.eye(J.shape[1])
+        b = -J.T @ f
+        dx = np.concatenate(
+            [np.asarray(dxp).reshape(-1), np.asarray(dxc).reshape(-1)]
+        )
+        rel = np.linalg.norm(A @ dx - b) / np.linalg.norm(b)
+        assert rel < 1e-7, (lam, rel)
+
+
 @pytest.mark.parametrize("mode", ["cholesky", "qrchol", "moreqr"])
 def test_initial_lambda(mode):
     problem = make_synthetic_problem(seed=2)
