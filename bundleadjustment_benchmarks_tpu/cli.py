@@ -108,7 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--checkpoint",
         default=None,
         help="checkpoint file: resumed from if it exists, written every "
-        "--checkpoint-every iterations (host drive only)",
+        "--checkpoint-every iterations. Works in every drive, including "
+        "--shards (sharded checkpoints store the full unsharded state, so "
+        "they resume at any shard count)",
     )
     p.add_argument("--checkpoint-every", type=int, default=25)
     p.add_argument(
@@ -139,6 +141,10 @@ def main(argv=None) -> int:
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
     )
+    # Honor JAX_PLATFORMS even when a site hook imported jax before us and
+    # pinned a default backend (the env var is only read at first import).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     # Precision model. Default (--dtype): x64 on; f64 = everything f64;
@@ -221,29 +227,33 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return RETURN_WRONG_INPUT_PARAMS
-        # The sharded drive does not yet thread checkpoint/metrics through
-        # shard_map; refuse the combination rather than silently dropping it.
-        ignored = [flag for flag, val in (
-            ("--checkpoint", args.checkpoint),
-            ("--metrics", args.metrics),
-        ) if val]
-        if ignored:
-            print(
-                f"--shards does not support {', '.join(ignored)} yet; "
-                "run single-shard for checkpoint/metrics observability",
-                file=sys.stderr,
-            )
-            return RETURN_WRONG_INPUT_PARAMS
 
     def run():
         if args.shards:
             from bundleadjustment_benchmarks_tpu.parallel import sharded
-
-            mesh = sharded.make_mesh(args.shards)
-            sp = sharded.shard_problem(problem, mesh)
-            res = sharded.minimize_sharded(sp, mesh, mode=args.solver, config=cfg)
             import dataclasses as _dc
 
+            # Checkpoints are layout-independent (full unsharded state;
+            # sharded.minimize_sharded docstring): load BEFORE sharding and
+            # re-shard from the restored state.
+            shard_problem_in, resume = problem, None
+            if args.checkpoint and os.path.exists(args.checkpoint):
+                from bundleadjustment_benchmarks_tpu.utils import (
+                    checkpoint as ckpt,
+                )
+
+                state, resume = ckpt.load_checkpoint(args.checkpoint)
+                shard_problem_in = _dc.replace(problem, state=state)
+                print(f"Resuming from {args.checkpoint} "
+                      f"(iteration {resume['iteration']})")
+            mesh = sharded.make_mesh(args.shards)
+            sp = sharded.shard_problem(shard_problem_in, mesh)
+            res = sharded.minimize_sharded(
+                sp, mesh, mode=args.solver, config=cfg, resume=resume,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every if args.checkpoint else 0,
+                metrics_path=args.metrics,
+            )
             full_state = _dc.replace(
                 res.state, points=sharded.unshard_points(sp, res.state)
             )

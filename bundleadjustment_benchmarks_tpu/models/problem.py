@@ -304,31 +304,40 @@ class BandedTable:
     aux: Optional[tuple] = None
 
 
-def _banded_table(
+def _banded_table_np(
     idx: np.ndarray, n_segments: int, aux_values: Optional[np.ndarray] = None,
     aux_sentinel: int = 0, max_bands: int = 4,
-) -> BandedTable:
-    """Build a BandedTable from (unsorted) segment indices.
+    classes: Optional[np.ndarray] = None,
+    rows_per_band: Optional[np.ndarray] = None,
+):
+    """Numpy core of _banded_table.
 
-    Band widths are the distinct power-of-two roundings of the segment
-    degrees (capped at ``max_bands`` classes; the largest classes merge).
-    ``aux_values``: optional (K,) per-value companion (e.g. point index);
-    gathered into per-band aux tables with ``aux_sentinel`` padding.
+    ``classes``/``rows_per_band``: optional FIXED descending band widths and
+    per-band row counts — the sharded drive builds one banded table per
+    shard and shard_map needs identical shapes across shards, so it
+    precomputes the union classes and max row counts and passes them here;
+    bands are padded with all-sentinel dummy rows that ``unperm`` never
+    references. Returns (tables, unperm, aux_tables, classes, rows) as numpy.
     """
     k = idx.shape[0]
     counts = np.bincount(idx, minlength=n_segments)
-    # Power-of-two width class per segment, capped at max_bands distinct
-    # classes (the largest classes merge into one).
     widths = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(counts, 1))).astype(int))
-    classes = np.unique(widths)[::-1]  # descending
-    if len(classes) > max_bands:
-        merged = classes[max_bands - 1 :]
-        widths = np.where(np.isin(widths, merged[1:]), merged[0], widths)
-        classes = np.unique(widths)[::-1]
+    if classes is None:
+        # Power-of-two width class per segment, capped at max_bands distinct
+        # classes (the largest classes merge into one).
+        cls = np.unique(widths)[::-1]  # descending
+        if len(cls) > max_bands:
+            merged = cls[max_bands - 1 :]
+            widths = np.where(np.isin(widths, merged[1:]), merged[0], widths)
+            cls = np.unique(widths)[::-1]
+    else:
+        cls = np.asarray(classes)
+        assert cls[0] >= widths.max(), (cls, widths.max())
+        # Each segment joins the smallest fixed class that fits its degree
+        # (cls is descending: the LAST class >= width).
+        widths = cls[np.searchsorted(-cls, -widths, side="right") - 1]
     # Group segments by class (stable within class -> deterministic).
     order = np.argsort(-widths, kind="stable")
-    unperm = np.empty(n_segments, dtype=np.int32)
-    unperm[order] = np.arange(n_segments, dtype=np.int32)
 
     starts = np.zeros(n_segments, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
@@ -343,24 +352,54 @@ def _banded_table(
 
     tables = []
     aux_tables = []
+    rows_out = []
+    unperm = np.empty(n_segments, dtype=np.int32)
     lo = 0
-    for w in classes:
+    offset = 0
+    for b, w in enumerate(cls):
         segs = order[lo : lo + int((widths == w).sum())]
         lo += len(segs)
+        nrows = (
+            len(segs) if rows_per_band is None else int(rows_per_band[b])
+        )
+        assert nrows >= len(segs)
+        rows_out.append(nrows)
         row_of = np.full(n_segments, -1, dtype=np.int64)
         row_of[segs] = np.arange(len(segs))
-        tbl = np.full((len(segs), int(w)), k, dtype=np.int32)
+        unperm[segs] = offset + np.arange(len(segs), dtype=np.int32)
+        offset += nrows
+        tbl = np.full((nrows, int(w)), k, dtype=np.int32)
         member = row_of[sorted_seg] >= 0
         tbl[row_of[sorted_seg[member]], pos[member]] = sorted_vals[
             member
         ].astype(np.int32)
-        tables.append(jnp.asarray(tbl))
+        tables.append(tbl)
         if aux_ext is not None:
-            aux_tables.append(jnp.asarray(aux_ext[np.minimum(tbl, k)]))
+            aux_tables.append(aux_ext[np.minimum(tbl, k)])
+    return tables, unperm, aux_tables, cls, np.asarray(rows_out)
+
+
+def _banded_table(
+    idx: np.ndarray, n_segments: int, aux_values: Optional[np.ndarray] = None,
+    aux_sentinel: int = 0, max_bands: int = 4,
+) -> BandedTable:
+    """Build a BandedTable from (unsorted) segment indices.
+
+    Band widths are the distinct power-of-two roundings of the segment
+    degrees (capped at ``max_bands`` classes; the largest classes merge).
+    ``aux_values``: optional (K,) per-value companion (e.g. point index);
+    gathered into per-band aux tables with ``aux_sentinel`` padding.
+    """
+    tables, unperm, aux_tables, _, _ = _banded_table_np(
+        idx, n_segments, aux_values=aux_values, aux_sentinel=aux_sentinel,
+        max_bands=max_bands,
+    )
     return BandedTable(
-        tables=tuple(tables),
+        tables=tuple(jnp.asarray(t) for t in tables),
         unperm=jnp.asarray(unperm),
-        aux=tuple(aux_tables) if aux_values is not None else None,
+        aux=tuple(jnp.asarray(a) for a in aux_tables)
+        if aux_values is not None
+        else None,
     )
 
 

@@ -97,6 +97,14 @@ class ShardedProblem:
     #: for the df32/Pallas kernels, which take it as the kernel's valid
     #: count instead of multiplying K-sized weight masks).
     obs_counts: Optional[jax.Array] = None
+    #: Per-shard degree-banded gather tables (problem.BandedTable with every
+    #: leaf stacked along dim 0 and mesh-sharded; indices shard-LOCAL with
+    #: sentinel obs_per_shard / points_per_shard). Band classes and per-band
+    #: row counts are unified across shards (shard_map needs one shape), so
+    #: light shards pad with never-referenced dummy rows. Restores the
+    #: 2-5x padded-gather win of the single-chip path (VERDICT r3 item 6).
+    pt_banded: Optional[problem_mod.BandedTable] = None
+    cam_banded: Optional[problem_mod.BandedTable] = None
 
     @property
     def tau2(self) -> float:
@@ -232,6 +240,52 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
             k2o[s_i] = np.where(ko == ko_s, komx, ko)
         pairs_sh = (ra, rb, kt, k2o, rp)
 
+    def _shared_banded(idx_lists, n_segments, sentinel_to, aux_lists=None,
+                       aux_sentinel=0):
+        """Per-shard BandedTables with UNIFIED band classes and row counts.
+
+        Every shard gets the same (classes, rows_per_band) so shard_map sees
+        one leaf shape; per-shard tables are stacked along dim 0. Local obs
+        sentinels (len of the local idx list) are remapped to ``sentinel_to``
+        (the padded per-shard length, whose gather row is zero)."""
+        union = set()
+        for li in idx_lists:
+            _, _, _, cls, _ = problem_mod._banded_table_np(li, n_segments)
+            union.update(int(c) for c in cls)
+        classes = np.array(sorted(union, reverse=True))[:4]
+        rows = None
+        for li in idx_lists:
+            _, _, _, _, r = problem_mod._banded_table_np(
+                li, n_segments, classes=classes
+            )
+            rows = r if rows is None else np.maximum(rows, r)
+        tabs, unps, auxs = [], [], []
+        for s_i, li in enumerate(idx_lists):
+            av = None if aux_lists is None else aux_lists[s_i]
+            t, u, a, _, _ = problem_mod._banded_table_np(
+                li, n_segments, classes=classes, rows_per_band=rows,
+                aux_values=av, aux_sentinel=aux_sentinel,
+            )
+            nloc = len(li)
+            tabs.append([np.where(tb == nloc, sentinel_to, tb) for tb in t])
+            unps.append(u)
+            auxs.append(a)
+        n_bands = len(classes)
+        tables = tuple(
+            put(np.concatenate([tabs[s][b] for s in range(d)], axis=0),
+                P(axis))
+            for b in range(n_bands)
+        )
+        unperm = put(np.concatenate(unps, axis=0), P(axis))
+        aux = None
+        if aux_lists is not None:
+            aux = tuple(
+                put(np.concatenate([auxs[s][b] for s in range(d)], axis=0),
+                    P(axis))
+                for b in range(n_bands)
+            )
+        return problem_mod.BandedTable(tables=tables, unperm=unperm, aux=aux)
+
     def put(x, spec):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
@@ -259,6 +313,13 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
             key_to_obs=put(k2o.reshape(-1), P(axis)),
             row_pt=put(rp.reshape(d * rp.shape[1], -1), P(axis)),
         )
+    pt_locals = [ptl_sh[s, : obs_ends[s] - obs_starts[s]] for s in range(d)]
+    cam_locals = [cam_sh[s, : obs_ends[s] - obs_starts[s]] for s in range(d)]
+    pt_banded_sh = _shared_banded(pt_locals, ms, ks)
+    cam_banded_sh = _shared_banded(
+        cam_locals, n_cams, ks, aux_lists=pt_locals, aux_sentinel=ms
+    )
+
     return ShardedProblem(
         state=state,
         obs=obs,
@@ -274,6 +335,8 @@ def shard_problem(problem: problem_mod.BAProblem, mesh: Mesh) -> ShardedProblem:
         obs_counts=put((obs_ends - obs_starts).astype(np.int32), P(axis)),
         pairs=pairs,
         cam_obs_pt=put(cam_pt_sh.reshape(d * n_cams, lcam), P(axis)),
+        pt_banded=pt_banded_sh,
+        cam_banded=cam_banded_sh,
     )
 
 
@@ -288,6 +351,10 @@ class _LocalView:
     n_points: int
     pairs: Optional[problem_mod.PairTables] = None
     cam_obs_pt: Optional[jax.Array] = None
+    #: Shard-local degree-banded tables (same gather-bandwidth win as the
+    #: single-chip path; VERDICT r3 item 6).
+    pt_banded: Optional[problem_mod.BandedTable] = None
+    cam_banded: Optional[problem_mod.BandedTable] = None
 
 
 def _pmax(x, axis: str):
@@ -347,6 +414,7 @@ def make_sharded_kernels(
     )
 
     use_pairs = camera_solver == "chol" and sp.pairs is not None
+    use_banded = sp.pt_banded is not None and sp.cam_banded is not None
     pairs_spec = (
         problem_mod.PairTables(
             row_a=P(axis), row_b=P(axis), key_table=P(axis),
@@ -355,9 +423,21 @@ def make_sharded_kernels(
         if use_pairs
         else None
     )
+    pt_banded_spec = cam_banded_spec = None
+    if use_banded:
+        pt_banded_spec = problem_mod.BandedTable(
+            tables=tuple(P(axis) for _ in sp.pt_banded.tables),
+            unperm=P(axis), aux=None,
+        )
+        cam_banded_spec = problem_mod.BandedTable(
+            tables=tuple(P(axis) for _ in sp.cam_banded.tables),
+            unperm=P(axis),
+            aux=tuple(P(axis) for _ in sp.cam_banded.aux),
+        )
 
     def local_view(obs_local, table_local, cam_table_local,
-                   pairs_local=None, cam_pt_local=None):
+                   pairs_local=None, cam_pt_local=None,
+                   pt_banded_local=None, cam_banded_local=None):
         return _LocalView(
             obs=obs_local,
             pt_obs_idx=table_local,
@@ -366,11 +446,14 @@ def make_sharded_kernels(
             n_points=ms,
             pairs=pairs_local,
             cam_obs_pt=cam_pt_local,
+            pt_banded=pt_banded_local,
+            cam_banded=cam_banded_local,
         )
 
     # ---- prepare: J blocks + context; U/g_cams all-reduced, rest local. ----
     def prepare_body(state, obs_local, table_local, cam_table_local,
-                     pairs_local=None, cam_pt_local=None):
+                     pairs_local=None, cam_pt_local=None,
+                     pt_banded_local=None, cam_banded_local=None):
         state_local = state  # cameras replicated, points already local
         blocks = _local_blocks(state_local, obs_local, tau2, compute_dtype=mm)
         acc = projection.accumulation_dtype(blocks.f.dtype)
@@ -378,7 +461,8 @@ def make_sharded_kernels(
         ctx = schur.build_context(
             blocks,
             local_view(obs_local, table_local, cam_table_local,
-                       pairs_local, cam_pt_local),
+                       pairs_local, cam_pt_local,
+                       pt_banded_local, cam_banded_local),
             mode,
             mm_dtype=mm,
             stack_f32=stack_f32,
@@ -414,14 +498,27 @@ def make_sharded_kernels(
         y0=P(axis) if want_eig else None,
         pairA=P(None, axis) if use_pairs else None,
         pairB=P(None, axis) if use_pairs else None,
-        diagG=P(None, axis) if use_pairs else None,
+        diagG=(
+            tuple(P(None, axis) for _ in sp.cam_banded.tables)
+            if (use_pairs and use_banded)
+            else (P(None, axis) if use_pairs else None)
+        ),
         row_pt=P(axis) if use_pairs else None,
-        cam_pt=P(axis) if use_pairs else None,
+        cam_pt=(
+            tuple(P(axis) for _ in sp.cam_banded.aux)
+            if (use_pairs and use_banded)
+            else (P(axis) if use_pairs else None)
+        ),
+        cam_unperm=P(axis) if (use_pairs and use_banded) else None,
     )
 
-    prepare_in = (state_spec, obs_spec, P(axis), P(axis))
-    if use_pairs:
-        prepare_in = prepare_in + (pairs_spec, P(axis))
+    # Optional shard_map args ride in FIXED positions (None + None spec when
+    # a feature is off) so positional binding never shifts between modes.
+    prepare_in = (
+        state_spec, obs_spec, P(axis), P(axis),
+        pairs_spec, P(axis) if use_pairs else None,
+        pt_banded_spec, cam_banded_spec,
+    )
     prepare_sm = shard_map(
         prepare_body,
         mesh=mesh,
@@ -430,13 +527,28 @@ def make_sharded_kernels(
         check_vma=False,
     )
 
+    def _prepare_opt_args():
+        return (
+            sp.pairs if use_pairs else None,
+            sp.cam_obs_pt if use_pairs else None,
+            sp.pt_banded if use_banded else None,
+            sp.cam_banded if use_banded else None,
+        )
+
+    def _trial_opt_args():
+        return (
+            sp.pairs if use_pairs else None,
+            sp.pt_banded if use_banded else None,
+        )
+
     # ---- trial: local factors, psum'd reduced system, local back-sub. ----
     def _solve_sharded(ctx, lam, obs_local, table_local, cam_table_local,
-                       pairs_local=None):
+                       pairs_local=None, pt_banded_local=None):
         """Distributed damped solve -> (dxp local, dxc replicated)."""
         dtype = ctx.U.dtype
         lam = jnp.asarray(lam, dtype)
-        view = local_view(obs_local, table_local, cam_table_local)
+        view = local_view(obs_local, table_local, cam_table_local,
+                          pt_banded_local=pt_banded_local)
         cam_idx, pt_idx = obs_local.cam_idx, obs_local.pt_idx
 
         if use_pairs:
@@ -450,9 +562,7 @@ def make_sharded_kernels(
             b_sum = jax.lax.psum(b_sum, axis)
             S, b = schur.assemble_reduced(S_sum, b_sum, ctx, lam, n)
             dxc = schur._camera_solve_chol(S, b).reshape(n, 9)
-            t = ctx.g_pts - schur.table_segment_sum(
-                jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), table_local
-            )
+            t = ctx.g_pts - schur.point_coupling_sum(ctx.W, dxc, cam_idx, view)
             if point_factor == "eig":
                 winv = 1.0 / (ctx.evals + lam)
                 dxp = jnp.einsum(
@@ -475,9 +585,7 @@ def make_sharded_kernels(
             S4 = S4.at[ar, :, ar, :].add(ctx.U + lam * jnp.eye(9, dtype=dtype))
             S = S4.reshape(9 * n, 9 * n)
             dxc = schur._camera_solve_chol(S, b).reshape(n, 9)
-            t = ctx.g_pts - schur.table_segment_sum(
-                jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), table_local
-            )
+            t = ctx.g_pts - schur.point_coupling_sum(ctx.W, dxc, cam_idx, view)
             dxp = jnp.einsum(
                 "mij,mj->mi",
                 ctx.evecs,
@@ -512,9 +620,7 @@ def make_sharded_kernels(
                 R_stack = R_all.reshape(-1, R_local.shape[-1])
                 R_comb = jnp.linalg.qr(R_stack, mode="r")
                 dxc = schur.finish_camera_qr(R_comb, lam, n).reshape(n, 9)
-            t = ctx.g_pts - schur.table_segment_sum(
-                jnp.einsum("kij,ki->kj", ctx.W, dxc[cam_idx]), table_local
-            )
+            t = ctx.g_pts - schur.point_coupling_sum(ctx.W, dxc, cam_idx, view)
             y2 = jnp.einsum("mij,mj->mi", Linv, t)
             dxp = jnp.einsum("mji,mj->mi", Linv, y2)
         return dxp, dxc
@@ -535,10 +641,11 @@ def make_sharded_kernels(
         return jnp.asarray(lam, acc) * dx_norm2 + jtres_dot
 
     def trial_body(ctx, state, lam, obs_local, table_local, cam_table_local,
-                   pairs_local=None):
+                   pairs_local=None, pt_banded_local=None):
         dtype = ctx.U.dtype
         dxp, dxc = _solve_sharded(
-            ctx, lam, obs_local, table_local, cam_table_local, pairs_local
+            ctx, lam, obs_local, table_local, cam_table_local, pairs_local,
+            pt_banded_local,
         )
         x_test = problem_mod.apply_step(state, dxp, dxc)
         acc = projection.accumulation_dtype(dtype)
@@ -551,9 +658,10 @@ def make_sharded_kernels(
         )
         return x_test, e_test, _rho_scale(ctx, lam, dxp, dxc)
 
-    trial_in = (ctx_spec, state_spec, P(), obs_spec, P(axis), P(axis))
-    if use_pairs:
-        trial_in = trial_in + (pairs_spec,)
+    trial_in = (
+        ctx_spec, state_spec, P(), obs_spec, P(axis), P(axis),
+        pairs_spec, pt_banded_spec,
+    )
     trial_sm = shard_map(
         trial_body,
         mesh=mesh,
@@ -572,7 +680,8 @@ def make_sharded_kernels(
         )
 
         def fast_prepare_body(fast, obs_local, table_local, cam_table_local,
-                              kloc, pairs_local=None, cam_pt_local=None):
+                              kloc, pairs_local=None, cam_pt_local=None,
+                              pt_banded_local=None, cam_banded_local=None):
             blocks, energy = pallas_chain.fused_blocks_energy(
                 fast, obs_local, tau2, valid_count=kloc[0]
             )
@@ -580,7 +689,8 @@ def make_sharded_kernels(
             ctx = schur.build_context(
                 blocks,
                 local_view(obs_local, table_local, cam_table_local,
-                           pairs_local, cam_pt_local),
+                           pairs_local, cam_pt_local,
+                           pt_banded_local, cam_banded_local),
                 mode,
                 mm_dtype=mm,
                 stack_f32=stack_f32,
@@ -602,10 +712,11 @@ def make_sharded_kernels(
             return ctx, energy, lam0
 
         def fast_trial_body(ctx, fast, lam, obs_local, table_local,
-                            cam_table_local, kloc, pairs_local=None):
+                            cam_table_local, kloc, pairs_local=None,
+                            pt_banded_local=None):
             dxp, dxc = _solve_sharded(
                 ctx, jnp.asarray(lam, jnp.float32), obs_local, table_local,
-                cam_table_local, pairs_local,
+                cam_table_local, pairs_local, pt_banded_local,
             )
             x_test = problem_mod.apply_step_fast(fast, dxp, dxc)
             e_test = jax.lax.psum(
@@ -616,12 +727,15 @@ def make_sharded_kernels(
             )
             return x_test, e_test, _rho_scale(ctx, lam, dxp, dxc)
 
-        fprep_in = (fast_spec, obs_spec, P(axis), P(axis), P(axis))
-        ftrial_in = (ctx_spec, fast_spec, P(), obs_spec, P(axis), P(axis),
-                     P(axis))
-        if use_pairs:
-            fprep_in = fprep_in + (pairs_spec, P(axis))
-            ftrial_in = ftrial_in + (pairs_spec,)
+        fprep_in = (
+            fast_spec, obs_spec, P(axis), P(axis), P(axis),
+            pairs_spec, P(axis) if use_pairs else None,
+            pt_banded_spec, cam_banded_spec,
+        )
+        ftrial_in = (
+            ctx_spec, fast_spec, P(), obs_spec, P(axis), P(axis), P(axis),
+            pairs_spec, pt_banded_spec,
+        )
         fast_prepare_sm = shard_map(
             fast_prepare_body, mesh=mesh, in_specs=fprep_in,
             out_specs=(ctx_spec, P(), P()), check_vma=False,
@@ -632,33 +746,30 @@ def make_sharded_kernels(
         )
 
         def prepare_fast(fast):
-            args = (fast, sp.obs, sp.pt_obs_idx, sp.cam_obs_idx,
-                    sp.obs_counts)
-            if use_pairs:
-                args = args + (sp.pairs, sp.cam_obs_pt)
-            return fast_prepare_sm(*args)
+            return fast_prepare_sm(
+                fast, sp.obs, sp.pt_obs_idx, sp.cam_obs_idx, sp.obs_counts,
+                *_prepare_opt_args(),
+            )
 
         def trial_fast(ctx, fast, lam):
-            args = (ctx, fast, jnp.asarray(lam), sp.obs, sp.pt_obs_idx,
-                    sp.cam_obs_idx, sp.obs_counts)
-            if use_pairs:
-                args = args + (sp.pairs,)
-            return fast_trial_sm(*args)
+            return fast_trial_sm(
+                ctx, fast, jnp.asarray(lam), sp.obs, sp.pt_obs_idx,
+                sp.cam_obs_idx, sp.obs_counts, *_trial_opt_args(),
+            )
 
         return prepare_fast, trial_fast
 
     def prepare(state):
-        args = (state, sp.obs, sp.pt_obs_idx, sp.cam_obs_idx)
-        if use_pairs:
-            args = args + (sp.pairs, sp.cam_obs_pt)
-        return prepare_sm(*args)
+        return prepare_sm(
+            state, sp.obs, sp.pt_obs_idx, sp.cam_obs_idx,
+            *_prepare_opt_args(),
+        )
 
     def trial(ctx, state, lam):
-        args = (ctx, state, jnp.asarray(lam), sp.obs, sp.pt_obs_idx,
-                sp.cam_obs_idx)
-        if use_pairs:
-            args = args + (sp.pairs,)
-        return trial_sm(*args)
+        return trial_sm(
+            ctx, state, jnp.asarray(lam), sp.obs, sp.pt_obs_idx,
+            sp.cam_obs_idx, *_trial_opt_args(),
+        )
 
     return prepare, trial
 
@@ -668,9 +779,55 @@ def minimize_sharded(
     mesh: Mesh,
     mode: str = "cholesky",
     config: Optional[lm_mod.LMConfig] = None,
+    resume=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    metrics_path: Optional[str] = None,
+    metrics_phase: Optional[str] = None,
 ) -> lm_mod.LMResult:
-    """Distributed LM: same control flow as lm.minimize, sharded kernels."""
+    """Distributed LM: same control flow as lm.minimize, sharded kernels.
+
+    Observability (VERDICT r3 item 7): ``checkpoint_path``/``metrics_path``/
+    ``resume`` are supported by routing the drive through the host loop
+    (per-trial dispatches; the coordinator process writes host-side).
+    Checkpoints store the UNSHARDED full state (layout-independent: a run
+    checkpointed at D shards resumes at any shard count or single-chip —
+    re-shard the problem from the loaded state and pass the meta as
+    ``resume``). ``config.polish_iters`` runs the same two-phase
+    fast-then-f64-polish drive as lm.minimize, distributed in both phases.
+    """
     config = config or lm_mod.LMConfig()
+
+    if config.polish_iters and (config.geometry or config.matmul_dtype):
+        import dataclasses as _dc
+
+        fast_cfg = _dc.replace(
+            config, polish_iters=0,
+            tol_fun=max(config.tol_fun, config.polish_fast_tol))
+        fast_res = minimize_sharded(
+            sp, mesh, mode=mode, config=fast_cfg, resume=resume,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            metrics_path=metrics_path, metrics_phase="fast",
+        )
+        polish_cfg = _dc.replace(
+            config, polish_iters=0, geometry=None, matmul_dtype=None,
+            pallas=False, max_iter=config.polish_iters,
+        )
+        sp_polish = _dc.replace(sp, state=fast_res.state)
+        polish_res = minimize_sharded(
+            sp_polish, mesh, mode=mode, config=polish_cfg,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            metrics_path=metrics_path, metrics_phase="polish",
+        )
+        status = (fast_res.status
+                  if polish_res.status == lm_mod.LMStatus.MaxItersReached
+                  else polish_res.status)
+        return polish_res._replace(
+            iterations=fast_res.iterations + polish_res.iterations,
+            fun_evals=fast_res.fun_evals + polish_res.fun_evals,
+            status=status,
+        )
+
     prepare, trial = make_sharded_kernels(
         sp, mesh, mode, matmul_dtype=config.matmul_dtype,
         geometry=config.geometry,
@@ -683,10 +840,21 @@ def minimize_sharded(
     def finish(x):
         return problem_mod.from_fast(x, dtype=dtype) if fast else x
 
-    if config.drive == "host":
+    def checkpoint_convert(x):
+        full = finish(x)
+        return dataclasses.replace(full, points=unshard_points(sp, full))
+
+    observed = bool(checkpoint_path or metrics_path or resume)
+    if config.drive == "host" or observed:
         prepare_j = jax.jit(prepare)
         trial_j = jax.jit(trial)
-        res = lm_mod.host_loop(state0, prepare_j, trial_j, config)
+        res = lm_mod.host_loop(
+            state0, prepare_j, trial_j, config, resume=resume,
+            checkpoint_every=checkpoint_every,
+            checkpoint_path=checkpoint_path, metrics_path=metrics_path,
+            metrics_phase=metrics_phase,
+            checkpoint_convert=checkpoint_convert,
+        )
         return res._replace(state=finish(res.state))
 
     @jax.jit

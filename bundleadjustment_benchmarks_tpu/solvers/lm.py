@@ -788,7 +788,8 @@ def _output_iter(it, status, fval, rho, lam, elapsed):
 def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
               checkpoint_every: int = 0, checkpoint_path: Optional[str] = None,
               metrics_path: Optional[str] = None,
-              metrics_phase: Optional[str] = None):
+              metrics_phase: Optional[str] = None,
+              checkpoint_convert=None):
     """Python-driven LM loop around jitted kernels (verbose parity path).
 
     ``resume``: a dict from utils.checkpoint.load_checkpoint's meta (lam /
@@ -796,6 +797,10 @@ def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
     capability the reference lacks entirely (SURVEY.md section 5).
     ``checkpoint_every``: if > 0 and checkpoint_path is set, dump the LM
     state every that many accepted iterations.
+    ``checkpoint_convert``: optional callable mapping the in-flight state to
+    the BAState to persist — the sharded drive passes an unshard+from_fast
+    converter so its checkpoints are layout-independent (resumable on any
+    shard count, or single-chip).
     """
     if config.verbose:
         _output_header()
@@ -887,9 +892,12 @@ def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
         if checkpoint_every and checkpoint_path and it % checkpoint_every == 0:
             from bundleadjustment_benchmarks_tpu.utils import checkpoint as _ckpt
 
-            x_save = x_test
-            if isinstance(x_save, problem_mod.FastBAState):
-                x_save = problem_mod.from_fast(x_save)
+            if checkpoint_convert is not None:
+                x_save = checkpoint_convert(x_test)
+            else:
+                x_save = x_test
+                if isinstance(x_save, problem_mod.FastBAState):
+                    x_save = problem_mod.from_fast(x_save)
             _ckpt.save_checkpoint(
                 checkpoint_path, x_save, lam=lam, iteration=it,
                 fun_evals=fun_evals, energy_history=hist,

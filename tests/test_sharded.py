@@ -31,6 +31,18 @@ def test_shard_problem_layout(mesh8):
     # All real points preserved in order.
     pts = np.asarray(sharded.unshard_points(sp, sp.state))
     np.testing.assert_array_equal(pts, np.asarray(problem.state.points))
+    # Degree-banded local tables ride the shards (VERDICT r3 item 6): every
+    # shard's bands share one shape, and each shard's table gathers exactly
+    # its real observations (sentinel = obs_per_shard elsewhere).
+    assert sp.pt_banded is not None and sp.cam_banded is not None
+    d, ks = sp.n_shards, sp.obs_per_shard
+    total = 0
+    for t in sp.pt_banded.tables:
+        tb = np.asarray(t).reshape(d, -1, t.shape[-1])
+        total += int((tb != ks).sum())
+    assert total == problem.n_observations
+    assert np.asarray(sp.pt_banded.unperm).shape == (d * sp.points_per_shard,)
+    assert sp.cam_banded.aux is not None
 
 
 @pytest.mark.parametrize("mode", ["cholesky", "qrchol", "moreqr", "qrkit"])
@@ -245,6 +257,70 @@ def test_sharded_df32_minimize_descends(mesh8):
     )
     assert res_sh.energy < 0.02 * float(e0)
     assert res.energy < 0.02 * float(e0)
+
+
+def test_sharded_checkpoint_metrics_resume(mesh8, tmp_path):
+    """Checkpoint/metrics/resume under the sharded drive (VERDICT r3 item 7):
+    the coordinator writes host-side; checkpoints hold the FULL unsharded
+    state so they resume at any shard count."""
+    import json
+
+    from bundleadjustment_benchmarks_tpu.utils import checkpoint as ckpt
+
+    problem = make_synthetic_problem(n_cameras=4, n_points=24, obs_per_point=3, seed=3)
+    sp = sharded.shard_problem(problem, mesh8)
+    ck = str(tmp_path / "sharded.ckpt.npz")
+    mt = str(tmp_path / "sharded.metrics.jsonl")
+    cfg = lm.LMConfig(drive="jit", max_iter=6)
+    res = sharded.minimize_sharded(
+        sp, mesh8, mode="cholesky", config=cfg,
+        checkpoint_path=ck, checkpoint_every=2, metrics_path=mt,
+    )
+    # MaxItersReached reports max_iter+1 (the reference increments the
+    # counter at the top of the stopping iteration without doing work).
+    assert res.iterations == 7
+    # Metrics JSONL: one record per trial, reference-shaped fields.
+    recs = [json.loads(l) for l in open(mt)]
+    assert len(recs) >= 6 and {"iter", "status", "f", "lambda"} <= set(recs[0])
+    # Checkpoint: full unsharded state + LM meta.
+    state, meta = ckpt.load_checkpoint(ck)
+    assert state.points.shape == (problem.n_points, 3)
+    assert meta["iteration"] in (4, 6)
+    # Resume on a DIFFERENT shard count from the same checkpoint.
+    import dataclasses as _dc
+
+    mesh2 = sharded.make_mesh(2)
+    sp2 = sharded.shard_problem(_dc.replace(problem, state=state), mesh2)
+    res2 = sharded.minimize_sharded(
+        sp2, mesh2, mode="cholesky",
+        config=lm.LMConfig(drive="jit", max_iter=8), resume=meta,
+    )
+    assert res2.iterations == 9  # resumed at 6, ran 7..8, stopped at 9
+    assert res2.energy <= res.energy * (1 + 1e-6)
+
+
+def test_sharded_polish_two_phase(mesh8):
+    """--polish under --shards (ADVICE r3): two-phase df32 + f64 drive runs
+    distributed in both phases instead of being silently ignored."""
+    problem = make_synthetic_problem(
+        n_cameras=4, n_points=20, obs_per_point=3, seed=7,
+        inlier_threshold=2.0,
+    )
+    sp = sharded.shard_problem(problem, mesh8)
+    cfg = lm.LMConfig(drive="jit", max_iter=10, geometry="df32",
+                      matmul_dtype="float32", polish_iters=4)
+    res = sharded.minimize_sharded(sp, mesh8, mode="cholesky", config=cfg)
+    plain = sharded.minimize_sharded(
+        sp, mesh8, mode="cholesky",
+        config=lm.LMConfig(drive="jit", max_iter=10, geometry="df32",
+                           matmul_dtype="float32"),
+    )
+    # The polish phase ran (extra iterations) and lands at the same noise
+    # floor (the fast phase stops at the looser polish_fast_tol, so the two
+    # trajectories differ within floor-level noise).
+    assert res.iterations > plain.iterations
+    assert res.energy <= plain.energy * 1.01
+    assert res.state.points.dtype == problem.state.points.dtype
 
 
 def test_sharded_minimize_matches_single(mesh8):
