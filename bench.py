@@ -78,6 +78,26 @@ def main():
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec / baseline, 4) if baseline else 1.0,
     }
+
+    # Scale headline (VERDICT r3 item 5): LM iter/s on the problem-257
+    # STAND-IN (N=257, M=65132, K=260528 — committed balgen stand-in for the
+    # stripped BAL blob; BASELINE.md "Stand-in data"), where the MXU actually
+    # loads. Tracked as extra fields of the same JSON line so per-round
+    # regressions off the p21 path are visible; the primary metric stays the
+    # p21 number every prior round recorded.
+    p257_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "problem-257-65132-pre.txt.gz")
+    if os.path.exists(p257_path) and platform != "cpu":
+        problem257 = load_bal_problem(p257_path, dtype=jnp.float64)
+        for mode_ in ("cholesky", "qrchol"):
+            res = lm.minimize(problem257, mode=mode_, config=cfg)  # warm-up
+            t0 = time.perf_counter()
+            res = lm.minimize(problem257, mode=mode_, config=cfg)
+            jax.block_until_ready(res.state.points)
+            out[f"p257_{mode_}_iter_per_sec"] = round(
+                res.iterations / (time.perf_counter() - t0), 4
+            )
+
     print(json.dumps(out))
 
 
