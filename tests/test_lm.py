@@ -59,7 +59,10 @@ def test_mode_parity_final_energy():
     for mode in schur.MODES:
         energies[mode] = lm.minimize(problem, mode=mode, config=cfg).energy
     # cholesky/qrchol share a lambda-init rule; qrkit/moreqr/spqr share the
-    # other. Within a group results should agree tightly.
+    # other. Within a group results should agree tightly. qrkit (Moré-cached
+    # camera QR) and spqr (whole-matrix QR per trial) are distinct
+    # realizations since round 4 — the tight tolerance now checks that two
+    # different factorizations of the same system track each other.
     np.testing.assert_allclose(energies["qrchol"], energies["cholesky"], rtol=1e-6)
     np.testing.assert_allclose(energies["spqr"], energies["qrkit"], rtol=1e-6)
     # moreqr shares qrkit's lambda-init but factors via the V eigenbasis —
