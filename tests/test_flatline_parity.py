@@ -141,18 +141,26 @@ def test_flatline_statistics_parity(problem, mode, drive):
     cpu_post, tpu_post = cpu["post"], row["post"]
     # Dominance clause: the budgets exist to catch WRONG optimization, not
     # better optimization. The orthogonal QR modes systematically land in
-    # deeper basins than the scipy CHOLESKY oracle (lower energy AND lower
-    # inlier error AND more inliers — e.g. p21 qrkit f64: 0.10876 px /
-    # 15723 inliers / obj 1256.3 vs the oracle's 0.11023 / 15525 / 1263.7,
-    # below the oracle's own perturbation band). A row that strictly
-    # improves every statistic passes regardless of the symmetric budget.
+    # deeper basins than the scipy CHOLESKY oracle (lower objective AND
+    # lower inlier error — e.g. p21 qrkit f64: 0.10876 px / obj 1256.3 vs
+    # the oracle's 0.11023 / 1263.7, below the oracle's own perturbation
+    # band; p39 qrkit f64: 0.11183 px / obj 2186.0 vs 0.11363 / 2197.7). A
+    # row that strictly improves BOTH continuous statistics passes the px/
+    # objective budgets; the inlier count — a threshold statistic whose
+    # oracle perturbation spread is ~1% — must still sit inside its own
+    # (count) budget.
     dominates = (
         tpu_post["inlier_mean_reprojection_error"]
         <= cpu_post["inlier_mean_reprojection_error"]
         and tpu_post["true_objective"] <= cpu_post["true_objective"]
-        and tpu_post["n_inliers"] >= cpu_post["n_inliers"]
     )
     if dominates:
+        rel_cnt = abs(tpu_post["n_inliers"] - cpu_post["n_inliers"]) \
+            / cpu_post["n_inliers"]
+        assert rel_cnt < budget["inlier_count_rtol"], (
+            f"{mode}/{drive}/{problem}: dominates on err/objective but "
+            f"{tpu_post['n_inliers']} inliers vs scipy "
+            f"{cpu_post['n_inliers']} (rel {rel_cnt:.3%})")
         return
 
     d_inlier = abs(tpu_post["inlier_mean_reprojection_error"]
