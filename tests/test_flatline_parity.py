@@ -155,12 +155,16 @@ def test_flatline_statistics_parity(problem, mode, drive):
         and tpu_post["true_objective"] <= cpu_post["true_objective"]
     )
     if dominates:
-        rel_cnt = abs(tpu_post["n_inliers"] - cpu_post["n_inliers"]) \
+        # One-sided count check: a deeper basin legitimately converts MORE
+        # near-threshold observations into inliers (p16 qrkit f64: +6.9%
+        # inliers with better error AND objective); only a count DEFICIT is
+        # suspicious while both continuous statistics improve.
+        deficit = max(0, cpu_post["n_inliers"] - tpu_post["n_inliers"]) \
             / cpu_post["n_inliers"]
-        assert rel_cnt < budget["inlier_count_rtol"], (
+        assert deficit < budget["inlier_count_rtol"], (
             f"{mode}/{drive}/{problem}: dominates on err/objective but "
             f"{tpu_post['n_inliers']} inliers vs scipy "
-            f"{cpu_post['n_inliers']} (rel {rel_cnt:.3%})")
+            f"{cpu_post['n_inliers']} (deficit {deficit:.3%})")
         return
 
     d_inlier = abs(tpu_post["inlier_mean_reprojection_error"]
