@@ -9,6 +9,15 @@ then bisects: the chunked TSQR reduction alone, then a single jnp.linalg.qr
 of one chunk, so the faulting kernel is identified even when the worker
 crash destroys the Python backtrace.
 
+RESOLVED in round 4 (docs/DESIGN.md section 6): qrkit caches its lambda-free
+camera QR per outer iteration (schur._redamp_qr per trial) and spqr's f64
+camera reduction runs in R-only CholeskyQR form (schur._spqr_gram_solve), so
+no dispatch approaches the watchdog budget; the campaign records real f64
+flatlines for both modes. This script is kept as the bisection harness for
+any future long-dispatch regression. Note the 'reduce'/'qr' stages exercise
+the row-Householder path that f64-on-TPU no longer uses by default (set
+BA_F64_ROWQR=1 to force it through solve_damped).
+
 Usage: python benchmarks/repro_tsqr_crash.py [--stage trial|reduce|qr|all]
                                              [--problem p39] [--chunk 512]
 """
