@@ -141,13 +141,15 @@ def main():
     if os.path.exists(ORACLE_NPZ):
         d = np.load(ORACLE_NPZ)
         k = int(d["it"])
-        # Rebuild a BAState from the oracle checkpoint (same conventions:
-        # K = diag(-f, -f, 1), pre-scaled distortion).
+        # Rebuild a BAState from the oracle checkpoint. cpu_reference's
+        # State stores f = K(0,0) = -focal ALREADY NEGATED
+        # (cpu_reference.py State.__init__) and pre-scaled k1/k2 — the same
+        # conventions as the framework's BAState, so the fields map 1:1.
         import dataclasses as _dc
 
         Kmat = np.zeros((d["f"].shape[0], 3, 3))
-        Kmat[:, 0, 0] = -d["f"]
-        Kmat[:, 1, 1] = -d["f"]
+        Kmat[:, 0, 0] = d["f"]
+        Kmat[:, 1, 1] = d["f"]
         Kmat[:, 2, 2] = 1.0
         oracle_state = _dc.replace(
             problem.state,
