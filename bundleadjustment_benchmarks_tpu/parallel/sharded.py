@@ -819,6 +819,15 @@ def minimize_sharded(
             checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
             metrics_path=metrics_path, metrics_phase="polish",
         )
+        import math as _math
+
+        if not _math.isfinite(polish_res.energy):
+            # Same fallback as lm.minimize: the f64 polish cannot evaluate
+            # the df32 endpoint (non-finite energy) — keep the fast result.
+            return fast_res._replace(
+                iterations=fast_res.iterations + polish_res.iterations,
+                fun_evals=fast_res.fun_evals + polish_res.fun_evals,
+            )
         status = (fast_res.status
                   if polish_res.status == lm_mod.LMStatus.MaxItersReached
                   else polish_res.status)

@@ -383,8 +383,19 @@ def _make_outer(prepare, trial, config: LMConfig, dtype, limits: _Limits):
                 jnp.asarray(config.lambda_min, dtype),
             )
             # Reject branch: stop check precedes growth (:325-334).
+            # Non-finite guard (deviation from the reference, documented in
+            # docs/DESIGN.md section 5): with NaN energy or lambda the
+            # reference's `lam > lambdaMax` comparison is always false and
+            # its damping loop never terminates (measured: a df32-accepted
+            # state whose f64 energy is NaN hung the polish dispatch until
+            # the TPU watchdog killed the worker). Treat non-finite
+            # energy/lambda as terminal: nothing can ever be accepted
+            # against a NaN energy.
+            finite = jnp.logical_and(jnp.isfinite(lam), jnp.isfinite(energy))
             stop = jnp.logical_and(
-                jnp.logical_not(accepted), lam > config.lambda_max
+                jnp.logical_not(accepted),
+                jnp.logical_or(lam > config.lambda_max,
+                               jnp.logical_not(finite)),
             )
             grow = jnp.logical_and(
                 jnp.logical_not(accepted), jnp.logical_not(stop)
@@ -878,7 +889,13 @@ def host_loop(state0, prepare, trial, config: LMConfig, resume=None,
                 if config.verbose:
                     _output_iter(it, "Rejected", energy, 0.0, lam, el)
                 emit(it, "Rejected", energy, 0.0, lam, el)
-                if lam > config.lambda_max:
+                # Same non-finite guard as the jit drive (DESIGN.md sec. 5):
+                # NaN energy/lambda would loop forever in the reference.
+                import math as _math
+
+                if lam > config.lambda_max or not (
+                    _math.isfinite(lam) and _math.isfinite(energy)
+                ):
                     status = LMStatus.ExceededLambdaMax
                     stop_now = True
                     break
@@ -977,6 +994,18 @@ def minimize(
             checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
             metrics_path=metrics_path, metrics_phase="polish",
         )
+        import math as _math
+
+        if not _math.isfinite(polish_res.energy):
+            # The f64 polish could not even evaluate the fast endpoint (a
+            # df32-accepted state can contain an observation whose f64
+            # projection divides by a rounded-to-zero depth -> NaN energy;
+            # DESIGN.md section 5 non-finite guard). Keep the fast phase's
+            # result — its own arithmetic found the state finite.
+            return fast_res._replace(
+                iterations=fast_res.iterations + polish_res.iterations,
+                fun_evals=fast_res.fun_evals + polish_res.fun_evals,
+            )
         # MaxItersReached on the polish cap is a budget stop, not a failure:
         # report the fast phase's terminal status in that case.
         status = (fast_res.status

@@ -74,6 +74,33 @@ def test_mode_parity_final_energy():
     assert vals.max() / vals.min() < 2.0
 
 
+def test_nan_energy_terminates():
+    """Non-finite guard (DESIGN.md section 5): a state whose energy is NaN
+    (here: a point exactly at its camera's center, zero projective depth)
+    must terminate with ExceededLambdaMax instead of looping forever (the
+    reference's `lam > lambdaMax` is always false for NaN lambda)."""
+    import dataclasses
+    import numpy as np
+
+    problem = make_synthetic_problem(n_cameras=3, n_points=10, obs_per_point=2, seed=4)
+    cam = int(np.asarray(problem.obs.cam_idx)[0])
+    pt = int(np.asarray(problem.obs.pt_idx)[0])
+    R = np.asarray(problem.state.R[cam])
+    T = np.asarray(problem.state.T[cam])
+    pts = np.asarray(problem.state.points).copy()
+    pts[pt] = -R.T @ T  # R x + T = 0 -> NaN projection
+    bad_state = dataclasses.replace(
+        problem.state, points=problem.state.points.at[:].set(pts)
+    )
+    bad = dataclasses.replace(problem, state=bad_state)
+    for drive in ("jit", "host"):
+        res = lm.minimize(
+            bad, mode="cholesky", config=lm.LMConfig(drive=drive, max_iter=50)
+        )
+        assert res.status == lm.LMStatus.ExceededLambdaMax, (drive, res)
+        assert res.iterations <= 2, (drive, res)
+
+
 def test_discard_final_step_quirk():
     """Flatline stop must discard the last accepted step by default
     (BacktrackLevMarqCholesky.h:344-353) and keep it when disabled."""
