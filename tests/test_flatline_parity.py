@@ -74,11 +74,14 @@ BUDGETS = {
     # qrkit/spqr df32 flatline BELOW the scipy port's energy. Full-depth
     # results come from the f64 drive (still 24-67x the scipy oracle's
     # wall); df32 is for iteration-rate benchmarking.
-    "df32p": dict(inlier_px=1e-2, obj_rtol=6e-2, inlier_count_rtol=0.25),
-    # df32 obj envelope 9%: measured worst case is p16/qrkit df32 at 8.2%
+    # df32/df32p obj envelope 9%: measured worst case is p16/qrkit at 8.2%
     # (early lambda-max stall of the cached-QR mode's f32 gram-formed Rcc —
     # its f64 row on the same problem DOMINATES the oracle, so this is
-    # envelope width, not a wrong answer; r4 campaign).
+    # envelope width, not a wrong answer; r4 campaign). df32p shares the
+    # envelope because the polish phase can be a NO-OP: a df32-accepted
+    # endpoint can be f64-non-evaluable (NaN depth — DESIGN.md section 5
+    # non-finite guard), in which case the df32p row IS the df32 endpoint.
+    "df32p": dict(inlier_px=1e-2, obj_rtol=9e-2, inlier_count_rtol=0.25),
     "df32": dict(inlier_px=1e-2, obj_rtol=9e-2, inlier_count_rtol=0.25),
 }
 
