@@ -1300,11 +1300,61 @@ def _redamp_qr(Rcc_aug, QtRpc, fill_evals, lam, chunk_rows: int = 12288):
     return R
 
 
+def _redamp_gram(Rcc_aug, QtRpc, fill_evals, lam):
+    """Per-trial damped camera gram from the cached lambda-free qrkit factors.
+
+    The qr_cached identity (module docstring) in R-only CholeskyQR form:
+
+        S_aug(lam) = Rcc_aug^T Rcc_aug + F^T F,
+        F = diag(sqrt(lam/(eh+lam))) QtRpc  (row-wise over the eigenbasis)
+
+    — two MXU matmuls instead of the emulated-f64 Householder row-QR scan of
+    _redamp_qr, which the round-4 probes measured ~150x slower than f64
+    matmuls on TPU (BASELINE.md). Exactly the treatment _spqr_gram_solve
+    gives the spqr trial; here it composes with qrkit's cached lambda-free
+    factorization so the per-trial cost is O(3M (9N+1)^2) matmul FLOPs."""
+    dtype = Rcc_aug.dtype
+    ncols = Rcc_aug.shape[0]
+    lam_e = jnp.asarray(lam, fill_evals.dtype)
+    scale = jnp.sqrt(lam_e / (fill_evals + lam_e)).astype(dtype)  # (M, 3)
+    F = (QtRpc * scale[..., None]).reshape(-1, ncols)
+    acc = jnp.float32 if jnp.dtype(dtype) == jnp.bfloat16 else jnp.dtype(dtype)
+    G = jax.lax.dot_general(
+        F, F, (((0,), (0,)), ((), ())), preferred_element_type=acc
+    )
+    S0 = jax.lax.dot_general(
+        Rcc_aug, Rcc_aug, (((0,), (0,)), ((), ())), preferred_element_type=acc
+    )
+    return S0 + G
+
+
 def _camera_solve_qr_cached(ctx: SchurContext, lam, n: int):
-    """qrkit camera step from the cached lambda-free QR factors."""
+    """qrkit camera step from the cached lambda-free QR factors.
+
+    f32/df32: per-trial row-QR of the rescaled cached rows (_redamp_qr,
+    native Householder). f64 on TPU: the same damped system assembled in
+    gram form (_redamp_gram) and solved with the Jacobi-scaled refined
+    solver — emulated-f64 Householder panels are ~150x slower than f64
+    matmuls there. BA_F64_ROWQR=1 forces the (slow) row-QR; BA_QRKIT_GRAM=1
+    forces the gram form on any backend (used by the CPU equivalence test).
+    """
+    dtype = ctx.U.dtype
+    n9 = 9 * n
+    use_gram = os.environ.get("BA_QRKIT_GRAM") or (
+        jnp.dtype(ctx.Rcc_aug.dtype) == jnp.float64
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("BA_F64_ROWQR")
+    )
+    if use_gram:
+        S_aug = _redamp_gram(ctx.Rcc_aug, ctx.QtRpc, ctx.fill_evals, lam)
+        Scam = S_aug[:n9, :n9] + jnp.asarray(lam, S_aug.dtype) * jnp.eye(
+            n9, dtype=S_aug.dtype
+        )
+        return _camera_solve_chol(
+            Scam.astype(dtype), S_aug[:n9, n9].astype(dtype)
+        )
     R = _redamp_qr(ctx.Rcc_aug, ctx.QtRpc, ctx.fill_evals, lam)
     Rd = R.astype(ctx.U.dtype)
-    n9 = 9 * n
     return linalg.solve_upper_triangular(Rd[:n9, :n9], Rd[:n9, n9])
 
 

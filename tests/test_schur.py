@@ -262,3 +262,40 @@ def test_pair_gram_same_camera_duplicate_observations():
     scale = max(np.abs(dxc_ref).max(), 1e-12)
     np.testing.assert_allclose(np.asarray(dxp), dxp_ref, atol=1e-8 * scale)
     np.testing.assert_allclose(np.asarray(dxc), dxc_ref, atol=1e-8 * scale)
+
+
+def test_qrkit_gram_redamp_matches_rowqr(monkeypatch):
+    """The gram-form per-trial re-damp (the TPU-f64 fast path, _redamp_gram)
+    must solve the same damped system as the Householder row-QR re-damp
+    (_redamp_qr) built from the same cached factors."""
+    problem = make_synthetic_problem(n_cameras=4, n_points=10, obs_per_point=3, seed=11)
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, "qrkit")
+    J, _ = dense_jacobian_analytic(problem)
+    f = np.asarray(blocks.f).reshape(-1)
+    for lam in (1e-5, 3e-2, 7.0):
+        monkeypatch.delenv("BA_QRKIT_GRAM", raising=False)
+        dxp_r, dxc_r = schur.solve_damped(ctx, lam, problem, "qrkit")
+        monkeypatch.setenv("BA_QRKIT_GRAM", "1")
+        dxp_g, dxc_g = schur.solve_damped(ctx, lam, problem, "qrkit")
+        monkeypatch.delenv("BA_QRKIT_GRAM", raising=False)
+        # both must solve the damped system (residual criterion, see
+        # test_solve_damped_solves_the_system), and agree with each other
+        A = J.T @ J + lam * np.eye(J.shape[1])
+        b = -J.T @ f
+        for dxp, dxc in ((dxp_r, dxc_r), (dxp_g, dxc_g)):
+            dx = np.concatenate(
+                [np.asarray(dxp).reshape(-1), np.asarray(dxc).reshape(-1)]
+            )
+            rel = np.linalg.norm(A @ dx - b) / np.linalg.norm(b)
+            assert rel < 1e-7, (lam, rel)
+        # direct comparison is condition-limited (see the module docstring);
+        # loose check only to catch sign/assembly errors
+        np.testing.assert_allclose(
+            np.asarray(dxc_g), np.asarray(dxc_r), rtol=5e-4, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(dxp_g), np.asarray(dxp_r), rtol=5e-4, atol=1e-9
+        )
