@@ -1315,15 +1315,42 @@ def _redamp_gram(Rcc_aug, QtRpc, fill_evals, lam):
     factorization so the per-trial cost is O(3M (9N+1)^2) matmul FLOPs."""
     dtype = Rcc_aug.dtype
     ncols = Rcc_aug.shape[0]
+    m = QtRpc.shape[0]
     lam_e = jnp.asarray(lam, fill_evals.dtype)
     scale = jnp.sqrt(lam_e / (fill_evals + lam_e)).astype(dtype)  # (M, 3)
-    F = (QtRpc * scale[..., None]).reshape(-1, ncols)
     acc = jnp.float32 if jnp.dtype(dtype) == jnp.bfloat16 else jnp.dtype(dtype)
-    G = jax.lax.dot_general(
-        F, F, (((0,), (0,)), ((), ())), preferred_element_type=acc
-    )
     S0 = jax.lax.dot_general(
         Rcc_aug, Rcc_aug, (((0,), (0,)), ((), ())), preferred_element_type=acc
+    )
+    # Accumulate F^T F over point chunks: rescaling materializes a COPY of
+    # the (3M, ncols) cached rows, which at p126-scale f64 (1.1 GB) tipped
+    # the chip over HBM on top of the cache itself — chunking bounds the
+    # per-step temp to chunk_points*3*ncols while every matmul stays
+    # MXU-sized. Zero-padded tail rows contribute nothing to the gram.
+    chunk_points = min(8192, m)
+    nch = -(-m // chunk_points)
+    pad = nch * chunk_points - m
+    Qp = jnp.pad(QtRpc, ((0, pad), (0, 0), (0, 0)))
+    sp = jnp.pad(scale, ((0, pad), (0, 0)))
+
+    def body(G, inp):
+        q, s = inp
+        Fc = (q * s[..., None]).reshape(-1, ncols)
+        return (
+            G
+            + jax.lax.dot_general(
+                Fc, Fc, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            ),
+            None,
+        )
+
+    G, _ = jax.lax.scan(
+        body,
+        jnp.zeros((ncols, ncols), acc),
+        (
+            Qp.reshape(nch, chunk_points, 3, ncols),
+            sp.reshape(nch, chunk_points, 3),
+        ),
     )
     return S0 + G
 
