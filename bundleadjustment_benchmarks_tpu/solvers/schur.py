@@ -89,6 +89,18 @@ from bundleadjustment_benchmarks_tpu.ops.jacobian import JacobianBlocks
 
 MODES = ("cholesky", "qrchol", "qrkit", "moreqr", "spqr")
 
+
+def _env_flag(name: str) -> bool:
+    """Parse an opt-in environment flag as a BOOLEAN (ADVICE r4: a bare
+    truthiness test made BA_QRKIT_GRAM=0 force-ENABLE the flag).
+
+    NOTE trace-time semantics: these flags are read while tracing jitted
+    solvers, so their value is baked into the compiled executable — toggling
+    one mid-process has no effect on already-compiled traces. Set them
+    before the first solve (they exist for tests and offline experiments,
+    not as runtime switches)."""
+    return os.environ.get(name, "").strip().lower() in ("1", "true", "yes", "on")
+
 #: (point_factor, camera_solver) per mode. qrkit and spqr are DISTINCT
 #: realizations (VERDICT r3 item 2): qrkit caches the lambda-free camera QR
 #: per outer iteration and re-damps per trial; spqr re-factors the whole
@@ -147,6 +159,17 @@ class SchurContext:
     QtRpc: Optional[jax.Array] = None  # (M, 3, 9N+1) Qh^T Q1_0^T [A_cam | b]
     fill_evals: Optional[jax.Array] = None  # (M, 3) eig of Rpp Rpp^T, >= 0
     Rcc_aug: Optional[jax.Array] = None  # (9N+1, 9N+1) lambda-free camera R
+    # 'qr_cached' PAIR-FORM cache (round 5; the memory-bounded realization —
+    # see build_context): the dense cross rows QtRpc compress to the planar
+    # per-observation blocks B27 (gathered into the SAME pair/camera tables
+    # the chol modes use: for qrkit contexts pairA/pairB/diagG/row_pt/cam_pt
+    # above hold B27 stacks, not WQ stacks), plus the cached lambda-free
+    # reduced system S0 = blkdiag(U) - sum B^T B. A damping trial adds the
+    # PSD correction sum B^T (lam/(eh+lam)) B via the weighted pair gram —
+    # O(sum_p L_p^2) work instead of the O(3M (9N)^2) dense-row gram.
+    qr_cqT: Optional[jax.Array] = None  # (3, M) Qh^T Q1_0^T (-f) rhs rows
+    qr_S0cam: Optional[jax.Array] = None  # (9N, 9N) lambda-free reduced S0
+    qr_b0: Optional[jax.Array] = None  # (9N,) lambda-free reduced rhs
 
 
 def _scatter_z(Ct: jax.Array, cam_idx, pt_idx, n_cameras: int, n_points: int):
@@ -579,24 +602,40 @@ def _pair_gram_cached(ctx, lam, pairs, n: int, mm):
     )
     py = (winv * ctx.y0).T.astype(sd)  # (3, M)
     py_ext = jnp.concatenate([py, jnp.zeros((3, 1), sd)], axis=1)
+    return _pair_gram_tables(ctx, w_ext, py_ext, pairs, n, acc)
 
-    def group_sum(P, width):
-        """Sum contiguous lane groups of ``width``: (C, S*width) -> (C, S).
 
-        width < 128 (sub-lane groups): reduce_window keeps the operand in
-        its full-tile flat layout — a reshape to (C, S, width) would force a
-        physical retile (minor dim width << 128 wastes 8x HBM and XLA
-        materializes the copy). width >= 128: the (C, S, width) view is
-        itself fully lane-tiled, so reshape+sum is free — and reduce_window
-        with a multi-thousand-lane window blows the 16M scoped-VMEM limit
-        (measured: width 4096 asked for 23.8M and failed to compile)."""
-        if width >= 128:
-            return P.reshape(P.shape[0], -1, width).sum(axis=2)
-        return jax.lax.reduce_window(
-            P, jnp.zeros((), P.dtype), jax.lax.add,
-            (1, width), (1, width), "VALID",
-        )
+def _group_sum(P, width):
+    """Sum contiguous lane groups of ``width``: (C, S*width) -> (C, S).
 
+    width < 128 (sub-lane groups): reduce_window keeps the operand in
+    its full-tile flat layout — a reshape to (C, S, width) would force a
+    physical retile (minor dim width << 128 wastes 8x HBM and XLA
+    materializes the copy). width >= 128: the (C, S, width) view is
+    itself fully lane-tiled, so reshape+sum is free — and reduce_window
+    with a multi-thousand-lane window blows the 16M scoped-VMEM limit
+    (measured: width 4096 asked for 23.8M and failed to compile)."""
+    if width >= 128:
+        return P.reshape(P.shape[0], -1, width).sum(axis=2)
+    return jax.lax.reduce_window(
+        P, jnp.zeros((), P.dtype), jax.lax.add,
+        (1, width), (1, width), "VALID",
+    )
+
+
+def _pair_gram_tables(ctx, w_ext, py_ext, pairs, n: int, acc):
+    """Weighted pair-gram core over the context's CACHED gathered stacks.
+
+    S_sum = sum_pairs A_p diag(w_p) B_p^T (+ the per-camera diagonal blocks)
+    and b_sum = sum_slots G_p (py_p), where the stacks (ctx.pairA/pairB/
+    diagG) were gathered once per outer iteration from planar (27, K)
+    coupling components, ``w_ext``/``py_ext`` are the (3, M+1) sentinel-
+    extended per-point row weights / weighted rhs rows in the stack dtype.
+    Serves both the chol-camera Schur gram (_pair_gram_cached: stacks = WQ,
+    w = 1/(evals+lam)) and the qrkit re-damp correction (stacks = B27,
+    w = lam/(fill_evals+lam)); sentinel slots gather weight 0 so padding
+    contributes nothing."""
+    group_sum = _group_sum
     # Strictly-upper pairs: FLAT planar products in the accumulation dtype
     # (f32 VPU multiplies of the bf16-stored operands — same or better
     # precision than the bf16 MXU pass the einsum would run), then one
@@ -765,6 +804,54 @@ def _place_rows_or_gram(B, c, cam_per_slot, n_cameras: int, mm,
     return G
 
 
+@dataclasses.dataclass
+class _PairStacks:
+    """Duck-typed stand-in for the SchurContext fields _pair_gram_tables
+    reads — lets build_context run the weighted pair gram before the real
+    context exists (the qrkit lambda-free S0)."""
+
+    pairA: jax.Array
+    pairB: jax.Array
+    diagG: object
+    row_pt: jax.Array
+    cam_pt: object
+    cam_unperm: Optional[jax.Array]
+
+
+def _gather_pair_stacks(C_ext, problem, pairs, cam_banded):
+    """Hoisted lambda-independent gathers of planar (27, K+1) coupling
+    components into the pair / camera tables (the build_context half of the
+    cached pair-gram trick; see SchurContext.pairA). Shared by the chol
+    modes (C = WQ) and the qrkit pair-form cache (C = B27)."""
+    pairA = C_ext[:, pairs.row_a.reshape(-1)]  # (27, R*Lrow)
+    pairB = C_ext[:, pairs.row_b.reshape(-1)]
+    row_pt = pairs.row_pt
+    cam_unperm = None
+    if cam_banded is not None:
+        diagG = tuple(C_ext[:, t.reshape(-1)] for t in cam_banded.tables)
+        cam_pt = cam_banded.aux
+        cam_unperm = cam_banded.unperm
+    else:
+        diagG = C_ext[:, problem.cam_obs_idx.reshape(-1)]  # (27, N*Lcam)
+        cam_pt = problem.cam_obs_pt
+    return pairA, pairB, diagG, row_pt, cam_pt, cam_unperm
+
+
+def _qrkit_use_gram(dtype) -> bool:
+    """Whether the qrkit per-trial re-damp runs in gram form (vs Householder
+    row-QR). Default: f64 on TPU, where emulated-f64 Householder panels run
+    ~150x slower than f64 matmuls (BASELINE.md r4 probes). BA_QRKIT_GRAM=1
+    forces gram form on any backend (CPU equivalence tests); BA_F64_ROWQR=1
+    forces the row-QR. Read at trace time (see _env_flag)."""
+    if _env_flag("BA_F64_ROWQR"):
+        return False
+    if _env_flag("BA_QRKIT_GRAM"):
+        return True
+    return (
+        jnp.dtype(dtype) == jnp.float64 and jax.default_backend() == "tpu"
+    )
+
+
 def _aug_camera_gram(U, g_cams, energy, dtype):
     """Gram of the augmented camera rows [A_cam | b]: blkdiag(U) with the
     gradient as rhs column and b^T b = ||f||^2 in the corner."""
@@ -880,21 +967,123 @@ def build_context(
     Jp_stacked = Jc_stacked = rhs_stacked = None
     evecs = evals = WQ = y0 = None
 
+    pairs = getattr(problem, "pairs", None)
+    if pairs is not None and getattr(problem, "cam_obs_pt", None) is None:
+        pairs = None  # duck-typed views without the weight tables
+
     QtRpc = fill_evals = Rcc_aug = None
+    qr_pairA = qr_pairB = qr_diagG = qr_row_pt = qr_cam_pt = None
+    qr_cam_unperm = qr_cqT = qr_S0cam = qr_b0 = None
+    # qrkit pair-form cache (round 5): when the per-trial re-damp runs in
+    # gram form AND the problem carries pair tables, the dense (M, 3, 9N+1)
+    # cross-row cache (1.1 GB at p126-scale f64 — the recorded r4 OOM) is
+    # never materialized; see the qr_cached branch below.
+    qr_pair_path = (
+        camera_solver == "qr_cached"
+        and cached_camera
+        and pairs is not None
+        and _qrkit_use_gram(f.dtype)
+    )
     if point_factor == "qr" :
         # Gather each point's observation rows into a padded static-shape
         # stack; sentinel index K gathers an all-zero row (harmless in QR).
         lmax = problem.pt_obs_idx.shape[1]
         Jp_ext = jnp.concatenate([Jp, jnp.zeros((1, 2, 3), Jp.dtype)], axis=0)
         Jp_stacked = Jp_ext[problem.pt_obs_idx].reshape(m, 2 * lmax, 3)
-        if camera_solver in ("qr_cached", "qr_full"):
+        if camera_solver == "qr_full" or (
+            camera_solver == "qr_cached" and not qr_pair_path
+        ):
             Jc_ext = jnp.concatenate([Jc, jnp.zeros((1, 2, 9), Jc.dtype)], axis=0)
             f_ext = jnp.concatenate([f, jnp.zeros((1, 2), f.dtype)], axis=0)
             Jc_stacked = Jc_ext[problem.pt_obs_idx].reshape(m, 2 * lmax, 9).astype(mm)
             rhs_stacked = (
                 (-f_ext[problem.pt_obs_idx]).reshape(m, 2 * lmax).astype(mm)
             )
-        if camera_solver == "qr_cached" and cached_camera:
+        if camera_solver == "qr_cached" and cached_camera and qr_pair_path:
+            # PAIR-FORM Moré-cached camera factorization (round 5; VERDICT
+            # r4 item 1 — memory-bounded qrkit). The dense cached cross rows
+            # compress exactly: with Q1_0 = Jp_stacked Rpp^-1 (the MGS
+            # identity), each observation's projected camera block is
+            #     B_k = Qh_p^T Q1_0^T Jc_k = P_p W_k^T,
+            #     P_p = Qh_p^T Rpp_p^-T  (3x3 per point, rank-guarded)
+            # so the whole lambda-free cache is the planar (27, K) tensor
+            # B27 plus per-point rhs rows cq = P g_pts — ~30 MB at p126 f64
+            # instead of 1.1 GB — and the per-trial re-damp correction
+            # F^T F = sum_p B_p^T (lam/(eh+lam)) B_p has the co-observation
+            # pair sparsity, so it runs through the SAME weighted pair-gram
+            # tables as the chol Schur gram (~100x fewer FLOPs than the
+            # dense-row gram at p126). The cached lambda-free reduced system
+            # S0 = blkdiag(U) - sum B^T B replaces Rcc_aug (its gram square;
+            # the row-QR realization below keeps the explicit factor).
+            # Matches BAFunctor.h:98-102 (QRKit camera stage) +
+            # BacktrackLevMarqMore.h:287-328 (factor once, re-damp cheap).
+            Q1_0, Rpp = linalg.mgs_qr3(Jp_stacked, zero_deficient=True)
+            del Q1_0  # identity folded into P = Qh^T Rpp^-T
+            acc_e = jnp.float64 if jax.config.jax_enable_x64 else Jp.dtype
+            eh_raw, Qh64 = linalg.eigh3x3_sym(
+                jnp.einsum("mij,mkj->mik", Rpp, Rpp).astype(acc_e)
+            )
+            fill_evals = jnp.maximum(eh_raw, 0.0).astype(f.dtype)
+            Qh = Qh64.astype(Jp.dtype)
+            # Rank guard: mgs_qr3(zero_deficient) zeroes deficient pivots
+            # exactly; patch the diagonal for the closed-form inverse and
+            # zero the matching ROWS of Rpp^-T (deficient directions carry
+            # no cross-row information — the zeroed-Q-column convention).
+            rdiag = jnp.diagonal(Rpp, axis1=-2, axis2=-1)  # (M, 3)
+            ok = rdiag > 0
+            patch = jnp.where(ok, 0.0, 1.0)
+            Rt = jnp.swapaxes(Rpp, -1, -2)  # lower-triangular Rpp^T
+            RinvT = linalg.inv_lower3x3(
+                Rt + patch[..., :, None] * jnp.eye(3, dtype=Rt.dtype)
+            )
+            RinvT = jnp.where(ok[..., None], RinvT, 0.0)
+            Pm = jnp.einsum("mdc,mdj->mcj", Qh, RinvT)  # (M, 3, 3)
+            cq = jnp.einsum("mcj,mj->mc", Pm, g_pts)  # (M, 3)
+            # Planar B27[3j+c, k] = sum_t P_p[c, t] W_k[j, t] — the same
+            # batched planar contraction pattern as WQ27 below.
+            W9b = W.reshape(k_obs, 27).T.reshape(9, 3, k_obs)
+            P9 = Pm.reshape(m, 9).T[:, pt_idx].reshape(3, 3, k_obs)
+            B27 = (
+                (W9b[:, None, :, :] * P9[None, :, :, :]).sum(2)
+            ).reshape(27, k_obs).astype(f.dtype)
+            B_ext = jnp.concatenate(
+                [B27, jnp.zeros((27, 1), B27.dtype)], axis=1
+            )
+            (qr_pairA, qr_pairB, qr_diagG, qr_row_pt, qr_cam_pt,
+             qr_cam_unperm) = _gather_pair_stacks(
+                B_ext, problem, pairs, cam_banded)
+            qr_cqT = cq.T.astype(f.dtype)  # (3, M)
+            # Lambda-free reduced system S0 = blkdiag(U) - sum B^T B (and
+            # rhs b0 = g - sum B^T cq): ONE weighted pair gram at w = 1.
+            acc0 = (
+                jnp.float64
+                if jnp.dtype(f.dtype) == jnp.float64
+                else jnp.float32
+            )
+            _tmp = _PairStacks(
+                pairA=qr_pairA, pairB=qr_pairB, diagG=qr_diagG,
+                row_pt=qr_row_pt, cam_pt=qr_cam_pt,
+                cam_unperm=qr_cam_unperm,
+            )
+            ones_ext = jnp.concatenate(
+                [jnp.ones((3, m), f.dtype), jnp.zeros((3, 1), f.dtype)],
+                axis=1,
+            )
+            cq_ext = jnp.concatenate(
+                [qr_cqT, jnp.zeros((3, 1), f.dtype)], axis=1
+            )
+            S_sum0, b_sum0 = _pair_gram_tables(
+                _tmp, ones_ext, cq_ext, pairs, n, acc0
+            )
+            S0 = -S_sum0.astype(f.dtype)
+            S04 = S0.reshape(n, 9, n, 9)
+            arn = jnp.arange(n)
+            S04 = S04.at[arn, :, arn, :].add(U.astype(f.dtype))
+            qr_S0cam = S04.reshape(9 * n, 9 * n)
+            qr_b0 = g_cams.reshape(-1).astype(f.dtype) - b_sum0.reshape(
+                -1
+            ).astype(f.dtype)
+        elif camera_solver == "qr_cached" and cached_camera:
             # Moré-cached camera QR (qrkit; VERDICT r3 item 1): everything
             # lambda-INDEPENDENT of the whole-matrix QR factorization is
             # built here, once per outer iteration; damping trials only
@@ -936,9 +1125,6 @@ def build_context(
             # b = -f, whose camera gram column is A_cam^T(-f) = g_cams.
             S0_aug = U_aug - G_sum
             Rcc_aug = _gram_sqrt_factor(S0_aug).astype(mm)
-    pairs = getattr(problem, "pairs", None)
-    if pairs is not None and getattr(problem, "cam_obs_pt", None) is None:
-        pairs = None  # duck-typed views without the weight tables
     pairA = pairB = diagG = row_pt = cam_pt = None
     want_eig = point_factor == "eig" or (
         camera_solver == "chol" and pairs is not None
@@ -982,20 +1168,9 @@ def build_context(
         # with only 16 live lanes — 8x physical HBM footprint, and XLA
         # relayout-copies it at every loop boundary (measured ~1.2 ms/iter).
         # Flat keeps full tiles; trials reshape-reduce contiguous L-groups.
-        pairA = WQ_ext[:, pairs.row_a.reshape(-1)]  # (27, R*Lrow)
-        pairB = WQ_ext[:, pairs.row_b.reshape(-1)]
-        # Static point-index companions, precomputed at load time (XLA does
-        # not hoist their recomputation out of the outer LM while body).
-        row_pt = pairs.row_pt
-        if cam_banded is not None:
-            diagG = tuple(
-                WQ_ext[:, t.reshape(-1)] for t in cam_banded.tables
-            )
-            cam_pt = cam_banded.aux
-            cam_unperm = cam_banded.unperm
-        else:
-            diagG = WQ_ext[:, problem.cam_obs_idx.reshape(-1)]  # (27, N*Lcam)
-            cam_pt = problem.cam_obs_pt
+        pairA, pairB, diagG, row_pt, cam_pt, cam_unperm = _gather_pair_stacks(
+            WQ_ext, problem, pairs, cam_banded
+        )
     elif point_factor == "eig":
         # Fallback eig coupling for problems without PairTables (e.g. the
         # sharded local views): blocky WQ feeds the chunked weighted gram.
@@ -1017,15 +1192,20 @@ def build_context(
         evals=evals,
         WQ=WQ,
         y0=y0,
-        pairA=pairA,
-        pairB=pairB,
-        diagG=diagG,
-        row_pt=row_pt,
-        cam_pt=cam_pt,
-        cam_unperm=cam_unperm,
+        # For qrkit pair-form contexts the shared pair-table fields hold the
+        # B27 stacks (only one family is ever live per mode).
+        pairA=pairA if pairA is not None else qr_pairA,
+        pairB=pairB if pairB is not None else qr_pairB,
+        diagG=diagG if diagG is not None else qr_diagG,
+        row_pt=row_pt if row_pt is not None else qr_row_pt,
+        cam_pt=cam_pt if cam_pt is not None else qr_cam_pt,
+        cam_unperm=cam_unperm if cam_unperm is not None else qr_cam_unperm,
         QtRpc=QtRpc,
         fill_evals=fill_evals,
         Rcc_aug=Rcc_aug,
+        qr_cqT=qr_cqT,
+        qr_S0cam=qr_S0cam,
+        qr_b0=qr_b0,
     )
 
 
@@ -1249,9 +1429,11 @@ def solve_damped(
     if camera_solver == "chol":
         S, b = _reduced_system_chol(ctx, lam, problem, n, m, Linv, mm)
         dxc = _camera_solve_chol(S, b).reshape(n, 9)
-    elif camera_solver == "qr_cached" and ctx.Rcc_aug is not None:
+    elif camera_solver == "qr_cached" and (
+        ctx.Rcc_aug is not None or ctx.qr_S0cam is not None
+    ):
         # qrkit: Moré-cached camera QR, cheap per-trial re-damp.
-        dxc = _camera_solve_qr_cached(ctx, lam, n).reshape(n, 9)
+        dxc = _camera_solve_qr_cached(ctx, lam, problem, n).reshape(n, 9)
     else:
         # spqr (whole-matrix QR per trial) — and the no-cache fallback for
         # qr_cached contexts built with cached_camera=False (sharded views).
@@ -1355,24 +1537,51 @@ def _redamp_gram(Rcc_aug, QtRpc, fill_evals, lam):
     return S0 + G
 
 
-def _camera_solve_qr_cached(ctx: SchurContext, lam, n: int):
+def _camera_solve_qr_cached(ctx: SchurContext, lam, problem, n: int):
     """qrkit camera step from the cached lambda-free QR factors.
 
-    f32/df32: per-trial row-QR of the rescaled cached rows (_redamp_qr,
-    native Householder). f64 on TPU: the same damped system assembled in
-    gram form (_redamp_gram) and solved with the Jacobi-scaled refined
-    solver — emulated-f64 Householder panels are ~150x slower than f64
-    matmuls there. BA_F64_ROWQR=1 forces the (slow) row-QR; BA_QRKIT_GRAM=1
-    forces the gram form on any backend (used by the CPU equivalence test).
+    Three realizations of the same re-damp identity, by cache layout:
+
+      * PAIR-FORM (ctx.qr_S0cam present — the default gram path when the
+        problem carries pair tables): S(lam) = S0 + sum B^T (lam/(eh+lam)) B
+        + lam I via ONE weighted pair gram over the cached B27 stacks —
+        O(sum_p L_p^2) FLOPs and no dense cross-row cache (the p126-scale
+        memory fix, VERDICT r4 item 1).
+      * dense gram (_redamp_gram — gram path without pair tables): the
+        same system accumulated from the dense cached rows.
+      * row-QR (_redamp_qr): per-trial Householder row-QR of the rescaled
+        cached rows — the orthogonal realization; the f32/df32 default.
+
+    Gram vs row-QR selection: _qrkit_use_gram (f64-on-TPU default;
+    BA_QRKIT_GRAM / BA_F64_ROWQR override — parsed as booleans, read at
+    trace time). build_context makes the matching cache.
     """
     dtype = ctx.U.dtype
     n9 = 9 * n
-    use_gram = os.environ.get("BA_QRKIT_GRAM") or (
-        jnp.dtype(ctx.Rcc_aug.dtype) == jnp.float64
-        and jax.default_backend() == "tpu"
-        and not os.environ.get("BA_F64_ROWQR")
-    )
-    if use_gram:
+    if ctx.qr_S0cam is not None:
+        e = ctx.fill_evals
+        lam_e = jnp.asarray(lam, e.dtype)
+        w = (lam_e / (e + lam_e)).T  # (3, M); eh=0 (deficient) -> w=1,
+        #                              whose B rows are zero — harmless
+        sd = ctx.pairA.dtype
+        w_ext = jnp.concatenate(
+            [w.astype(sd), jnp.zeros((3, 1), sd)], axis=1
+        )
+        py_ext = jnp.concatenate(
+            [(w * ctx.qr_cqT).astype(sd), jnp.zeros((3, 1), sd)], axis=1
+        )
+        acc = ctx.qr_S0cam.dtype
+        S_sum, b_sum = _pair_gram_tables(
+            ctx, w_ext, py_ext, problem.pairs, n, acc
+        )
+        Scam = (
+            ctx.qr_S0cam
+            + S_sum.astype(dtype)
+            + jnp.asarray(lam, dtype) * jnp.eye(n9, dtype=dtype)
+        )
+        b = ctx.qr_b0 + b_sum.reshape(-1).astype(dtype)
+        return _camera_solve_chol(Scam, b)
+    if _qrkit_use_gram(ctx.Rcc_aug.dtype):
         S_aug = _redamp_gram(ctx.Rcc_aug, ctx.QtRpc, ctx.fill_evals, lam)
         Scam = S_aug[:n9, :n9] + jnp.asarray(lam, S_aug.dtype) * jnp.eye(
             n9, dtype=S_aug.dtype
@@ -1433,7 +1642,7 @@ def camera_solve_qr(
     if (
         red == jnp.float64
         and jax.default_backend() == "tpu"
-        and not os.environ.get("BA_F64_ROWQR")
+        and not _env_flag("BA_F64_ROWQR")
     ):
         return _spqr_gram_solve(ctx, lam, problem, problem.n_cameras)
     R_reduced = camera_tsqr_reduce(

@@ -25,7 +25,12 @@ def make_synthetic_problem(
     noise: float = 5e-3,
     dtype=jnp.float64,
     inlier_threshold: float = 0.5,
+    mixed_degree: bool = False,
 ) -> BAProblem:
+    """``mixed_degree=True`` drops all but the first observation of every
+    even-indexed point, producing a problem with BOTH single-observation
+    points (rank-2 Jp blocks — exercises the QR modes' rank guards) and
+    multi-observation points (so co-observation pair tables exist)."""
     rng = np.random.default_rng(seed)
     omega = rng.normal(scale=0.1, size=(n_cameras, 3))
     translation = rng.normal(scale=0.2, size=(n_cameras, 3))
@@ -79,6 +84,11 @@ def make_synthetic_problem(
     kr = 1 + pk1 * r2 + pk2 * r2 * r2
     meas = (-focal[cam_idx] * kr)[:, None] * xu
     meas = meas + rng.normal(scale=noise, size=meas.shape)
+
+    if mixed_degree:
+        slot = np.tile(np.arange(L, dtype=np.int32), n_points)
+        keep = (pt_idx % 2 != 0) | (slot == 0)
+        cam_idx, pt_idx, meas = cam_idx[keep], pt_idx[keep], meas[keep]
 
     ds = BalDataset(
         cam_idx=cam_idx,

@@ -299,3 +299,74 @@ def test_qrkit_gram_redamp_matches_rowqr(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(dxp_g), np.asarray(dxp_r), rtol=5e-4, atol=1e-9
         )
+
+
+def test_qrkit_pair_form_cache(monkeypatch):
+    """Round-5 memory-bounded qrkit (VERDICT r4 item 1): with pair tables
+    and the gram re-damp selected, build_context caches the PAIR-FORM
+    factors (planar B27 stacks + lambda-free reduced S0) and never
+    materializes the dense (M, 3, 9N+1) cross-row cache. One context must
+    serve every damping trial (Moré factor-once), solve the damped system,
+    and agree with the row-QR realization built from the same J."""
+    monkeypatch.setenv("BA_QRKIT_GRAM", "1")
+    problem = make_synthetic_problem(
+        n_cameras=4, n_points=10, obs_per_point=3, seed=13
+    )
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, "qrkit")
+    assert ctx.qr_S0cam is not None and ctx.pairA is not None
+    assert ctx.QtRpc is None and ctx.Rcc_aug is None  # memory fix
+    assert ctx.Jc_stacked is None and ctx.rhs_stacked is None
+    monkeypatch.delenv("BA_QRKIT_GRAM", raising=False)
+    ctx_row = schur.build_context(blocks, problem, "qrkit")
+    assert ctx_row.QtRpc is not None  # the orthogonal row-QR realization
+    J, _ = dense_jacobian_analytic(problem)
+    f = np.asarray(blocks.f).reshape(-1)
+    for lam in (1e-5, 3e-2, 7.0):  # one cache, three trials
+        dxp, dxc = schur.solve_damped(ctx, lam, problem, "qrkit")
+        A = J.T @ J + lam * np.eye(J.shape[1])
+        b = -J.T @ f
+        dx = np.concatenate(
+            [np.asarray(dxp).reshape(-1), np.asarray(dxc).reshape(-1)]
+        )
+        rel = np.linalg.norm(A @ dx - b) / np.linalg.norm(b)
+        assert rel < 1e-7, (lam, rel)
+        dxp_r, dxc_r = schur.solve_damped(ctx_row, lam, problem, "qrkit")
+        np.testing.assert_allclose(
+            np.asarray(dxc), np.asarray(dxc_r), rtol=5e-4, atol=1e-9
+        )
+
+
+@pytest.mark.parametrize("lam", [1e-4, 1.0])
+def test_qrkit_pair_form_rank_deficient(monkeypatch, lam):
+    """Pair-form qrkit on single-observation points (rank-2 Jp blocks): the
+    P = Qh^T Rpp^-T whitening is rank-guarded (zero rows for zeroed MGS
+    pivots), so deficient directions contribute nothing — same convention
+    as the zeroed Q columns of the row realization."""
+    monkeypatch.setenv("BA_QRKIT_GRAM", "1")
+    from bundleadjustment_benchmarks_tpu.utils.synthetic import (
+        make_synthetic_problem as _make,
+    )
+
+    # mixed_degree: single-obs points exercise the rank guard while the
+    # multi-obs points keep the pair tables alive.
+    problem = _make(n_cameras=4, n_points=10, obs_per_point=3, seed=3,
+                    mixed_degree=True)
+    blocks = jacobian.residuals_and_jacobian(
+        problem.state, problem.obs, problem.tau2
+    )
+    ctx = schur.build_context(blocks, problem, "qrkit")
+    assert ctx.qr_S0cam is not None
+    dxp, dxc = schur.solve_damped(ctx, lam, problem, "qrkit")
+    J, _ = dense_jacobian_analytic(problem)
+    f = np.asarray(blocks.f).reshape(-1)
+    A = J.T @ J + lam * np.eye(J.shape[1])
+    b = -J.T @ f
+    dx = np.concatenate(
+        [np.asarray(dxp).reshape(-1), np.asarray(dxc).reshape(-1)]
+    )
+    assert np.all(np.isfinite(dx))
+    rel = np.linalg.norm(A @ dx - b) / np.linalg.norm(b)
+    assert rel < 1e-7, (lam, rel)
