@@ -414,13 +414,22 @@ def make_sharded_kernels(
     )
 
     use_pairs = camera_solver == "chol" and sp.pairs is not None
+    # Distributed qrkit (VERDICT r4 items 1-2): the Moré-cached camera
+    # factorization in PAIR FORM. The B27 blocks are point-local, so each
+    # shard builds its own pair tables of them; the lambda-free reduced
+    # system S0 and each trial's re-damp correction psum exactly like the
+    # chol Schur gram — ONE (9N)^2 psum riding ICI. This makes sharded
+    # qrkit a genuinely distinct realization from sharded spqr (which
+    # re-factors per trial through the all-gathered TSQR below).
+    use_qr_pairs = camera_solver == "qr_cached" and sp.pairs is not None
+    any_pairs = use_pairs or use_qr_pairs
     use_banded = sp.pt_banded is not None and sp.cam_banded is not None
     pairs_spec = (
         problem_mod.PairTables(
             row_a=P(axis), row_b=P(axis), key_table=P(axis),
             key_to_obs=P(axis), row_pt=P(axis),
         )
-        if use_pairs
+        if any_pairs
         else None
     )
     pt_banded_spec = cam_banded_spec = None
@@ -467,21 +476,41 @@ def make_sharded_kernels(
             mm_dtype=mm,
             stack_f32=stack_f32,
             gram_f64=gram_f64,
-            cached_camera=False,
+            cached_camera=use_qr_pairs,
+            force_qr_pair=use_qr_pairs,
+            s0_partial=use_qr_pairs,
         )
+        ctx = _finish_prepare(ctx)
+        lam0 = schur.initial_lambda(ctx, mode).astype(energy.dtype)
+        return ctx, energy, lam0
+
+    def _finish_prepare(ctx):
+        """psum the replicated context pieces; assemble the global qrkit
+        lambda-free reduced system from the shards' partial sums."""
         U = jax.lax.psum(ctx.U, axis)
         g_cams = jax.lax.psum(ctx.g_cams, axis)
         max_colnorm_sq = jnp.maximum(
             jnp.max(jnp.diagonal(U, axis1=-2, axis2=-1)),
             _pmax(jnp.max(jnp.diagonal(ctx.V, axis1=-2, axis2=-1)), axis),
         )
-        ctx = dataclasses.replace(
-            ctx, U=U, g_cams=g_cams, max_colnorm_sq=max_colnorm_sq
-        )
-        lam0 = schur.initial_lambda(ctx, mode).astype(energy.dtype)
-        return ctx, energy, lam0
+        repl = dict(U=U, g_cams=g_cams, max_colnorm_sq=max_colnorm_sq)
+        if use_qr_pairs:
+            sdt = ctx.qr_S0cam.dtype
+            S04 = jax.lax.psum(ctx.qr_S0cam, axis).reshape(n, 9, n, 9)
+            arn = jnp.arange(n)
+            S04 = S04.at[arn, :, arn, :].add(U.astype(sdt))
+            repl["qr_S0cam"] = S04.reshape(9 * n, 9 * n)
+            repl["qr_b0"] = g_cams.reshape(-1).astype(sdt) + jax.lax.psum(
+                ctx.qr_b0, axis
+            )
+        return dataclasses.replace(ctx, **repl)
 
     want_eig = point_factor == "eig" or use_pairs
+    # Stacked camera rows only feed the TSQR path (spqr; qrkit falls back
+    # to it only when the problem carries no pair tables).
+    want_cam_stacks = camera_solver == "qr_full" or (
+        camera_solver == "qr_cached" and not use_qr_pairs
+    )
     ctx_spec = schur.SchurContext(
         U=P(),
         V=P(axis),
@@ -490,33 +519,37 @@ def make_sharded_kernels(
         g_pts=P(axis),
         max_colnorm_sq=P(),
         Jp_stacked=P(axis) if point_factor == "qr" else None,
-        Jc_stacked=P(axis) if camera_solver in ("qr_cached", "qr_full") else None,
-        rhs_stacked=P(axis) if camera_solver in ("qr_cached", "qr_full") else None,
+        Jc_stacked=P(axis) if want_cam_stacks else None,
+        rhs_stacked=P(axis) if want_cam_stacks else None,
         evecs=P(axis) if want_eig else None,
         evals=P(axis) if want_eig else None,
         WQ=P(axis) if (point_factor == "eig" and not use_pairs) else None,
         y0=P(axis) if want_eig else None,
-        pairA=P(None, axis) if use_pairs else None,
-        pairB=P(None, axis) if use_pairs else None,
+        pairA=P(None, axis) if any_pairs else None,
+        pairB=P(None, axis) if any_pairs else None,
         diagG=(
             tuple(P(None, axis) for _ in sp.cam_banded.tables)
-            if (use_pairs and use_banded)
-            else (P(None, axis) if use_pairs else None)
+            if (any_pairs and use_banded)
+            else (P(None, axis) if any_pairs else None)
         ),
-        row_pt=P(axis) if use_pairs else None,
+        row_pt=P(axis) if any_pairs else None,
         cam_pt=(
             tuple(P(axis) for _ in sp.cam_banded.aux)
-            if (use_pairs and use_banded)
-            else (P(axis) if use_pairs else None)
+            if (any_pairs and use_banded)
+            else (P(axis) if any_pairs else None)
         ),
-        cam_unperm=P(axis) if (use_pairs and use_banded) else None,
+        cam_unperm=P(axis) if (any_pairs and use_banded) else None,
+        fill_evals=P(axis) if use_qr_pairs else None,
+        qr_cqT=P(None, axis) if use_qr_pairs else None,
+        qr_S0cam=P() if use_qr_pairs else None,
+        qr_b0=P() if use_qr_pairs else None,
     )
 
     # Optional shard_map args ride in FIXED positions (None + None spec when
     # a feature is off) so positional binding never shifts between modes.
     prepare_in = (
         state_spec, obs_spec, P(axis), P(axis),
-        pairs_spec, P(axis) if use_pairs else None,
+        pairs_spec, P(axis) if any_pairs else None,
         pt_banded_spec, cam_banded_spec,
     )
     prepare_sm = shard_map(
@@ -529,15 +562,15 @@ def make_sharded_kernels(
 
     def _prepare_opt_args():
         return (
-            sp.pairs if use_pairs else None,
-            sp.cam_obs_pt if use_pairs else None,
+            sp.pairs if any_pairs else None,
+            sp.cam_obs_pt if any_pairs else None,
             sp.pt_banded if use_banded else None,
             sp.cam_banded if use_banded else None,
         )
 
     def _trial_opt_args():
         return (
-            sp.pairs if use_pairs else None,
+            sp.pairs if any_pairs else None,
             sp.pt_banded if use_banded else None,
         )
 
@@ -591,6 +624,27 @@ def make_sharded_kernels(
                 ctx.evecs,
                 winv * jnp.einsum("mji,mj->mi", ctx.evecs, t),
             )
+        elif use_qr_pairs:
+            # Distributed Moré-cached qrkit: local weighted pair gram of the
+            # cached B27 re-damp rows, ONE psum of the (9N)^2 correction,
+            # replicated solve against the cached lambda-free S0 — the
+            # factor-once/re-damp-cheap camera stage (BAFunctor.h:98-102,
+            # BacktrackLevMarqMore.h:287-328) under shard_map.
+            S_sum, b_sum = schur.qrkit_pair_trial_sums(ctx, lam, pairs_local, n)
+            S_sum = jax.lax.psum(S_sum, axis)
+            b_sum = jax.lax.psum(b_sum, axis)
+            n9 = 9 * n
+            Scam = (
+                ctx.qr_S0cam
+                + S_sum.astype(dtype)
+                + lam * jnp.eye(n9, dtype=dtype)
+            )
+            b = ctx.qr_b0 + b_sum.reshape(-1).astype(dtype)
+            dxc = schur._camera_solve_chol(Scam, b).reshape(n, 9)
+            t = ctx.g_pts - schur.point_coupling_sum(ctx.W, dxc, cam_idx, view)
+            Linv = schur._point_factor_inv(ctx, lam, mode, dtype)
+            y2 = jnp.einsum("mij,mj->mi", Linv, t)
+            dxp = jnp.einsum("mji,mj->mi", Linv, y2)
         else:
             Linv = schur._point_factor_inv(ctx, lam, mode, dtype)
             if camera_solver == "chol":
@@ -695,19 +749,11 @@ def make_sharded_kernels(
                 mm_dtype=mm,
                 stack_f32=stack_f32,
                 gram_f64=gram_f64,
-                cached_camera=False,
+                cached_camera=use_qr_pairs,
+                force_qr_pair=use_qr_pairs,
+                s0_partial=use_qr_pairs,
             )
-            U = jax.lax.psum(ctx.U, axis)
-            g_cams = jax.lax.psum(ctx.g_cams, axis)
-            max_colnorm_sq = jnp.maximum(
-                jnp.max(jnp.diagonal(U, axis1=-2, axis2=-1)),
-                _pmax(
-                    jnp.max(jnp.diagonal(ctx.V, axis1=-2, axis2=-1)), axis
-                ),
-            )
-            ctx = dataclasses.replace(
-                ctx, U=U, g_cams=g_cams, max_colnorm_sq=max_colnorm_sq
-            )
+            ctx = _finish_prepare(ctx)
             lam0 = schur.initial_lambda(ctx, mode).astype(energy.dtype)
             return ctx, energy, lam0
 
@@ -729,7 +775,7 @@ def make_sharded_kernels(
 
         fprep_in = (
             fast_spec, obs_spec, P(axis), P(axis), P(axis),
-            pairs_spec, P(axis) if use_pairs else None,
+            pairs_spec, P(axis) if any_pairs else None,
             pt_banded_spec, cam_banded_spec,
         )
         ftrial_in = (

@@ -891,6 +891,7 @@ def build_context(
     blocks: JacobianBlocks, problem, mode: str, mm_dtype=None,
     stack_f32: bool = False, gram_f64: bool = False,
     cached_camera: bool = True,
+    force_qr_pair: bool = False, s0_partial: bool = False,
 ) -> SchurContext:
     """Assemble normal-equation blocks + mode-specific cached factors from J.
 
@@ -910,9 +911,17 @@ def build_context(
     regardless of the blocks' dtype.
 
     ``cached_camera=False`` skips the qrkit lambda-free camera-QR cache
-    (QtRpc/Rcc_aug) — the sharded local views use it because those factors
-    reduce over the GLOBAL camera gram; the distributed drive runs both QR
-    modes through the all-gathered TSQR instead (parallel/sharded.py).
+    (QtRpc/Rcc_aug) — the sharded spqr local views use it because those
+    factors reduce over the GLOBAL camera gram; the distributed spqr runs
+    through the all-gathered TSQR instead (parallel/sharded.py).
+
+    ``force_qr_pair`` selects the qrkit PAIR-FORM cache regardless of the
+    _qrkit_use_gram dtype/backend default, and ``s0_partial`` makes its
+    lambda-free reduced system PARTIAL: qr_S0cam holds only the LOCAL
+    -sum B^T B (no blkdiag(U) added) and qr_b0 only -sum B^T cq (no
+    g_cams), so shards can psum the partials and add the already-psummed
+    U/g_cams afterwards — the distributed qrkit prepare
+    (parallel/sharded.py prepare bodies; VERDICT r4 item 2).
     """
     obs = problem.obs
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
@@ -982,7 +991,7 @@ def build_context(
         camera_solver == "qr_cached"
         and cached_camera
         and pairs is not None
-        and _qrkit_use_gram(f.dtype)
+        and (force_qr_pair or _qrkit_use_gram(f.dtype))
     )
     if point_factor == "qr" :
         # Gather each point's observation rows into a padded static-shape
@@ -1075,14 +1084,20 @@ def build_context(
             S_sum0, b_sum0 = _pair_gram_tables(
                 _tmp, ones_ext, cq_ext, pairs, n, acc0
             )
-            S0 = -S_sum0.astype(f.dtype)
-            S04 = S0.reshape(n, 9, n, 9)
-            arn = jnp.arange(n)
-            S04 = S04.at[arn, :, arn, :].add(U.astype(f.dtype))
-            qr_S0cam = S04.reshape(9 * n, 9 * n)
-            qr_b0 = g_cams.reshape(-1).astype(f.dtype) - b_sum0.reshape(
-                -1
-            ).astype(f.dtype)
+            if s0_partial:
+                # Distributed prepare: local partials only — the caller
+                # psums these and adds the globally-psummed U / g_cams.
+                qr_S0cam = -S_sum0.astype(f.dtype)
+                qr_b0 = -b_sum0.reshape(-1).astype(f.dtype)
+            else:
+                S0 = -S_sum0.astype(f.dtype)
+                S04 = S0.reshape(n, 9, n, 9)
+                arn = jnp.arange(n)
+                S04 = S04.at[arn, :, arn, :].add(U.astype(f.dtype))
+                qr_S0cam = S04.reshape(9 * n, 9 * n)
+                qr_b0 = g_cams.reshape(-1).astype(f.dtype) - b_sum0.reshape(
+                    -1
+                ).astype(f.dtype)
         elif camera_solver == "qr_cached" and cached_camera:
             # Moré-cached camera QR (qrkit; VERDICT r3 item 1): everything
             # lambda-INDEPENDENT of the whole-matrix QR factorization is
@@ -1537,6 +1552,33 @@ def _redamp_gram(Rcc_aug, QtRpc, fill_evals, lam):
     return S0 + G
 
 
+def qrkit_pair_trial_sums(ctx: SchurContext, lam, pairs, n: int):
+    """Per-trial re-damp correction sums from the qrkit PAIR-FORM cache.
+
+    Returns (S_sum, b_sum) with S_sum = sum_k B_k^T (lam/(eh+lam)) B_k
+    (the fill-in of eliminating the damped point columns — the module
+    docstring identity) and b_sum its rhs companion, accumulated through
+    the weighted pair-gram tables. Shared by the single-chip qrkit trial
+    (_camera_solve_qr_cached) and the distributed trial
+    (parallel/sharded.py), where each shard computes its LOCAL sums over
+    its pair tables and ONE psum of the (9N)^2 partial forms the global
+    correction — the same collective pattern as the chol Schur gram.
+    """
+    e = ctx.fill_evals
+    lam_e = jnp.asarray(lam, e.dtype)
+    w = (lam_e / (e + lam_e)).T  # (3, M); eh=0 (deficient) -> w=1,
+    #                              whose B rows are zero — harmless
+    sd = ctx.pairA.dtype
+    w_ext = jnp.concatenate(
+        [w.astype(sd), jnp.zeros((3, 1), sd)], axis=1
+    )
+    py_ext = jnp.concatenate(
+        [(w * ctx.qr_cqT).astype(sd), jnp.zeros((3, 1), sd)], axis=1
+    )
+    acc = ctx.qr_S0cam.dtype
+    return _pair_gram_tables(ctx, w_ext, py_ext, pairs, n, acc)
+
+
 def _camera_solve_qr_cached(ctx: SchurContext, lam, problem, n: int):
     """qrkit camera step from the cached lambda-free QR factors.
 
@@ -1559,21 +1601,7 @@ def _camera_solve_qr_cached(ctx: SchurContext, lam, problem, n: int):
     dtype = ctx.U.dtype
     n9 = 9 * n
     if ctx.qr_S0cam is not None:
-        e = ctx.fill_evals
-        lam_e = jnp.asarray(lam, e.dtype)
-        w = (lam_e / (e + lam_e)).T  # (3, M); eh=0 (deficient) -> w=1,
-        #                              whose B rows are zero — harmless
-        sd = ctx.pairA.dtype
-        w_ext = jnp.concatenate(
-            [w.astype(sd), jnp.zeros((3, 1), sd)], axis=1
-        )
-        py_ext = jnp.concatenate(
-            [(w * ctx.qr_cqT).astype(sd), jnp.zeros((3, 1), sd)], axis=1
-        )
-        acc = ctx.qr_S0cam.dtype
-        S_sum, b_sum = _pair_gram_tables(
-            ctx, w_ext, py_ext, problem.pairs, n, acc
-        )
+        S_sum, b_sum = qrkit_pair_trial_sums(ctx, lam, problem.pairs, n)
         Scam = (
             ctx.qr_S0cam
             + S_sum.astype(dtype)
@@ -1606,17 +1634,62 @@ def _spqr_gram_solve(ctx: SchurContext, lam, problem, n: int):
     (R-only CholeskyQR — B^T B = U_aug - Rpc(lam)^T Rpc(lam), exact by the
     projector identity) and solves with the Jacobi-scaled refined solver.
     The f32/df32 drives keep true Householder chunks (camera_tsqr_reduce).
+
+    The whole trial is ONE scan over point chunks — per chunk: augmented
+    MGS QR, camera-row projection, one-hot placement, gram accumulation.
+    Materializing the full per-slot projected blocks (M, Lmax, 3, 9) first
+    OOMed at p126-scale f64: XLA tiles the 27-lane minor dims at (4, 128)
+    (~19x padding) and a remat copy of that tensor alone asked for 11.6 GB
+    (round-5 repro, benchmarks/parity_campaign.json r4 history). Chunking
+    bounds the padded temp to chunk_points * Lmax * 27 lanes per step.
     """
     dtype = ctx.U.dtype
     m = ctx.V.shape[0]
     sdt = ctx.Jp_stacked.dtype
+    lmax2 = ctx.Jp_stacked.shape[1]
+    lmax = lmax2 // 2
+    ncols = 9 * n + 1
+    acc = jnp.float32 if jnp.dtype(dtype) == jnp.bfloat16 else jnp.dtype(dtype)
+    cam_slot = _cam_per_slot(problem)
+    chunk = max(1, min(1024, m))
+    nch = -(-m // chunk)
+    pad = nch * chunk - m
+
+    def padc(x):
+        # Zero-padded tail points: their observation rows are zero, so their
+        # Q1 obs-rows are zero (MGS of [0; sqrt(lam) I] puts all mass in the
+        # lambda rows) and they contribute nothing to the gram.
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    Jp_c = padc(ctx.Jp_stacked).reshape(nch, chunk, lmax2, 3)
+    Jc_c = padc(ctx.Jc_stacked).reshape(nch, chunk, lmax2, 9)
+    rhs_c = padc(ctx.rhs_stacked).reshape(nch, chunk, lmax2)
+    cam_c = padc(cam_slot).reshape(nch, chunk, lmax)
     sl = jnp.sqrt(jnp.asarray(lam, sdt))
-    lam_rows = jnp.broadcast_to(sl * jnp.eye(3, dtype=sdt), (m, 3, 3))
-    A = jnp.concatenate([ctx.Jp_stacked, lam_rows], axis=1)
-    Q1, _ = linalg.mgs_qr3(A)
-    B, c = _point_row_blocks(Q1, ctx.Jc_stacked, ctx.rhs_stacked)
-    G = _place_rows_or_gram(
-        B, c, _cam_per_slot(problem), n, dtype, want_rows=False
+    lam_rows = jnp.broadcast_to(sl * jnp.eye(3, dtype=sdt), (chunk, 3, 3))
+    ar = jnp.arange(n, dtype=cam_slot.dtype)
+
+    def body(G, inp):
+        Jpc, Jcc, rc, cams = inp
+        A = jnp.concatenate([Jpc, lam_rows], axis=1)
+        Q1, _ = linalg.mgs_qr3(A)
+        B, c = _point_row_blocks(Q1, Jcc, rc)
+        onehot = (cams[..., None] == ar).astype(sdt)  # (chunk, L, N)
+        rows = jnp.einsum("pln,plcj->pcnj", onehot, B)
+        rows = rows.reshape(chunk, 3, 9 * n)
+        rows = jnp.concatenate([rows, c[..., None]], axis=-1)
+        flat = rows.reshape(chunk * 3, ncols)
+        return (
+            G
+            + jax.lax.dot_general(
+                flat, flat, (((0,), (0,)), ((), ())),
+                preferred_element_type=acc,
+            ),
+            None,
+        )
+
+    G, _ = jax.lax.scan(
+        body, jnp.zeros((ncols, ncols), acc), (Jp_c, Jc_c, rhs_c, cam_c)
     )
     # Corner energy is irrelevant to the solve (only S[:9N,:9N] and the rhs
     # column are consumed).
