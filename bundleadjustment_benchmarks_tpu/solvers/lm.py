@@ -141,6 +141,12 @@ class LMConfig:
     #: N iterations per XLA call and emits the reference table between
     #: chunks — jit-loop speed, host-loop introspection).
     chunk_size: int = 16
+    #: Mixed-precision iterative refinement of each trial's step
+    #: (schur.refine_step; the VERDICT r4 item-5 experiment): after the
+    #: damped solve, N passes of f64-residual + same-system correction
+    #: solve. Supported for the chol-camera modes (cholesky/qrchol/moreqr);
+    #: 0 = off (the default drive).
+    refine_steps: int = 0
     #: Force the jit drive through the chunked loop even without
     #: verbose/checkpoint/metrics. Bounds single-dispatch wall time: one
     #: monolithic lax.while_loop dispatch running for hundreds of seconds is
@@ -227,10 +233,12 @@ def _prepare_fast(fast, problem, mode: str, matmul_dtype: Optional[str] = None,
     return ctx, energy, lam0
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype", "pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("mode", "matmul_dtype", "pallas", "refine")
+)
 def _trial_fast(
     ctx, fast, lam, problem, mode: str, matmul_dtype: Optional[str] = None,
-    pallas: bool = False,
+    pallas: bool = False, refine: int = 0,
 ):
     """df32-geometry damping trial.
 
@@ -241,13 +249,12 @@ def _trial_fast(
     dot_general/reduce, so this f64 island costs ~nothing.
     """
     mm = _mm(matmul_dtype)
-    dxp, dxc = schur.solve_damped(
-        ctx,
-        jnp.asarray(lam, jnp.float32),
-        problem,
-        mode,
-        mm_dtype=mm,
-    )
+    lam32 = jnp.asarray(lam, jnp.float32)
+    dxp, dxc = schur.solve_damped(ctx, lam32, problem, mode, mm_dtype=mm)
+    for _ in range(refine):
+        dxp, dxc = schur.refine_step(
+            ctx, lam32, problem, mode, dxp, dxc, mm_dtype=mm
+        )
     x_test = problem_mod.apply_step_fast(fast, dxp, dxc)
     if pallas:
         e_test = pallas_chain.fused_energy(x_test, problem.obs, problem.tau2)
@@ -257,11 +264,18 @@ def _trial_fast(
     return x_test, e_test, rho_scale
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "matmul_dtype"))
-def _trial(ctx, state, lam, problem, mode: str, matmul_dtype: Optional[str] = None):
+@functools.partial(
+    jax.jit, static_argnames=("mode", "matmul_dtype", "refine")
+)
+def _trial(ctx, state, lam, problem, mode: str,
+           matmul_dtype: Optional[str] = None, refine: int = 0):
     """One damping trial: solve, step, re-evaluate energy (inner-loop work)."""
     mm = _mm(matmul_dtype)
     dxp, dxc = schur.solve_damped(ctx, lam, problem, mode, mm_dtype=mm)
+    for _ in range(refine):
+        dxp, dxc = schur.refine_step(
+            ctx, lam, problem, mode, dxp, dxc, mm_dtype=mm
+        )
     x_test = problem_mod.apply_step(state, dxp, dxc)
     e_test = projection.energy(x_test, problem.obs, problem.tau2, compute_dtype=mm)
     rho_scale = schur.gradient_dot(ctx, dxp, dxc, lam)
@@ -546,7 +560,8 @@ def _minimize_jit(state0, problem, limits: _Limits, mode: str,
             stack_f32=config.stack_f32, gram_f64=config.gram_f64
         )
         trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
-            ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl
+            ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl,
+            refine=config.refine_steps,
         )
         final = lm_loop(fast0, prepare, trial, config, dtype, limits)
         return final._replace(x=problem_mod.from_fast(final.x, dtype=dtype))
@@ -554,7 +569,8 @@ def _minimize_jit(state0, problem, limits: _Limits, mode: str,
         s, problem, mode, config.matmul_dtype,
         stack_f32=config.stack_f32, gram_f64=config.gram_f64)
     trial = lambda ctx, s, lam: _trial(  # noqa: E731
-        ctx, s, lam, problem, mode, config.matmul_dtype
+        ctx, s, lam, problem, mode, config.matmul_dtype,
+        refine=config.refine_steps,
     )
     return lm_loop(state0, prepare, trial, config, dtype, limits)
 
@@ -575,14 +591,16 @@ def _make_kernels(problem, mode: str, config: LMConfig):
             stack_f32=config.stack_f32, gram_f64=config.gram_f64
         )
         trial = lambda ctx, s, lam: _trial_fast(  # noqa: E731
-            ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl
+            ctx, s, lam, problem, mode, config.matmul_dtype, pallas=use_pl,
+            refine=config.refine_steps,
         )
         return prepare, trial, True
     prepare = lambda s: _prepare(  # noqa: E731
         s, problem, mode, config.matmul_dtype,
         stack_f32=config.stack_f32, gram_f64=config.gram_f64)
     trial = lambda ctx, s, lam: _trial(  # noqa: E731
-        ctx, s, lam, problem, mode, config.matmul_dtype
+        ctx, s, lam, problem, mode, config.matmul_dtype,
+        refine=config.refine_steps,
     )
     return prepare, trial, False
 

@@ -1461,6 +1461,62 @@ def solve_damped(
     return dxp, dxc
 
 
+def refine_step(ctx: SchurContext, lam, problem, mode: str, dxp, dxc,
+                mm_dtype=None, pf_dtype=None):
+    """One mixed-precision iterative-refinement pass on the damped step.
+
+    The df32 drive forms the Schur system in f32/bf16; its flatline basins
+    sit measurably above the f64 oracle's (BASELINE.md "df32 accuracy
+    split"). Classic mixed-precision IR tests whether that gap is STEP
+    error: compute the residual of (J^T J + lam I) dx = -J^T f in f64
+    (elementwise/segment ops — accurate even where the f32 system matvec
+    cancels), re-solve the SAME factorized system for the correction, add.
+
+        r_c = g_c - (U + lam I) dx_c - sum_{k in cam} W_k dx_p(pt(k))
+        r_p = g_p - (V + lam I) dx_p - sum_{k in pt} W_k^T dx_c(cam(k))
+
+    The correction solve reuses the per-trial path with a rhs-replaced
+    context (g_cams/g_pts/y0), so it supports the chol-camera modes
+    (cholesky / qrchol / moreqr); the QR-camera modes thread their rhs
+    through per-trial caches (qr_cqT / rhs_stacked) and are out of the
+    experiment's scope. Surfaced as LMConfig.refine_steps (VERDICT r4
+    item 5: one structural df32 step-quality experiment — measured either
+    way, see BASELINE.md round-5 notes).
+    """
+    obs = problem.obs
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    dtype = ctx.U.dtype
+    lam_a = jnp.asarray(lam, acc)
+    dxc_a = dxc.astype(acc)
+    dxp_a = dxp.astype(acc)
+    W = ctx.W.astype(acc)
+    n, m = problem.n_cameras, problem.n_points
+    # Camera residual: block-diagonal part + point coupling per camera.
+    Udxc = jnp.einsum("nij,nj->ni", ctx.U.astype(acc), dxc_a)
+    Wdxp = jnp.einsum("kij,kj->ki", W, dxp_a[obs.pt_idx])  # (K, 9)
+    coup_c = jax.ops.segment_sum(Wdxp, obs.cam_idx, num_segments=n)
+    r_c = ctx.g_cams.astype(acc) - Udxc - lam_a * dxc_a - coup_c
+    # Point residual: 3x3 blocks + camera coupling per point.
+    Vdxp = jnp.einsum("mij,mj->mi", ctx.V.astype(acc), dxp_a)
+    Wtdxc = jnp.einsum("kij,ki->kj", W, dxc_a[obs.cam_idx])  # (K, 3)
+    coup_p = jax.ops.segment_sum(Wtdxc, obs.pt_idx, num_segments=m)
+    r_p = ctx.g_pts.astype(acc) - Vdxp - lam_a * dxp_a - coup_p
+
+    repl = dict(g_cams=r_c.astype(dtype), g_pts=r_p.astype(dtype))
+    if ctx.y0 is not None:
+        repl["y0"] = jnp.einsum(
+            "mji,mj->mi", ctx.evecs.astype(acc), r_p
+        ).astype(ctx.y0.dtype)
+    rhs_ctx = dataclasses.replace(ctx, **repl)
+    ddxp, ddxc = solve_damped(
+        rhs_ctx, lam, problem, mode, mm_dtype=mm_dtype, pf_dtype=pf_dtype
+    )
+    return (
+        (dxp_a + ddxp.astype(acc)).astype(dxp.dtype),
+        (dxc_a + ddxc.astype(acc)).astype(dxc.dtype),
+    )
+
+
 def _redamp_qr(Rcc_aug, QtRpc, fill_evals, lam, chunk_rows: int = 12288):
     """Per-trial re-damp of the cached camera QR (qrkit inner work item).
 
