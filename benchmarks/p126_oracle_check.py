@@ -24,7 +24,11 @@ The five-mode df32 flatline rows at p126 (parity_campaign.json) then anchor
 to the oracle transitively: cholesky-f64-vs-oracle here, five-mode mutual
 parity there. Documented in BASELINE.md (round 4).
 
-Usage: python benchmarks/p126_oracle_check.py [--max-iter N]
+Usage: python benchmarks/p126_oracle_check.py [--max-iter N] [--key p126|p257]
+
+Round 5: generalized to the p257 stand-in (--key p257) — the same
+prefix-anchoring treatment at the headline-scale config (BASELINE.json
+configs 4-5), whose oracle runs ~1 h PER ITERATION on this host's 2 CPUs.
 """
 
 from __future__ import annotations
@@ -39,13 +43,26 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
-ORACLE_LOG = os.path.join(RESULTS, "cpu_p126_flatline.log")
-ORACLE_NPZ = os.path.join(RESULTS, "cpu_p126_state.npz")
-OUT = os.path.join(RESULTS, "p126_oracle_check.json")
-PROBLEM = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "data", "problem-126-40037-pre.txt.gz",
-)
+_DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+#: Per-problem artifact paths: (oracle log, oracle state npz, output json,
+#: tpu trace jsonl, BAL stand-in).
+CONFIGS = {
+    "p126": (
+        os.path.join(RESULTS, "cpu_p126_flatline.log"),
+        os.path.join(RESULTS, "cpu_p126_state.npz"),
+        os.path.join(RESULTS, "p126_oracle_check.json"),
+        os.path.join(RESULTS, "p126_tpu_trace.jsonl"),
+        os.path.join(_DATA, "problem-126-40037-pre.txt.gz"),
+    ),
+    "p257": (
+        os.path.join(RESULTS, "cpu_p257_prefix.log"),
+        os.path.join(RESULTS, "cpu_p257_state.npz"),
+        os.path.join(RESULTS, "p257_oracle_check.json"),
+        os.path.join(RESULTS, "p257_tpu_trace.jsonl"),
+        os.path.join(_DATA, "problem-257-65132-pre.txt.gz"),
+    ),
+}
 
 
 def parse_oracle_trace(path):
@@ -67,7 +84,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-iter", type=int, default=None,
                     help="TPU iteration budget (default: oracle trace length)")
+    ap.add_argument("--key", default="p126", choices=sorted(CONFIGS))
     args = ap.parse_args()
+    ORACLE_LOG, ORACLE_NPZ, OUT, TRACE, PROBLEM = CONFIGS[args.key]
 
     oracle_trace = parse_oracle_trace(ORACLE_LOG)
     if not oracle_trace:
@@ -90,7 +109,7 @@ def main():
 
     # Host drive: exact per-iteration energies (the reference's verbose
     # semantics), bounded per-trial dispatches on TPU.
-    metrics_path = os.path.join(RESULTS, "p126_tpu_trace.jsonl")
+    metrics_path = TRACE
     if os.path.exists(metrics_path):
         os.remove(metrics_path)
     cfg = lm.LMConfig(drive="host", max_iter=budget)
