@@ -288,3 +288,96 @@ def tsqr(A: jax.Array, chunk: int = 4096) -> jax.Array:
 def solve_upper_triangular(Rmat: jax.Array, b: jax.Array) -> jax.Array:
     """Solve R x = b for upper-triangular R (n, n)."""
     return jax.scipy.linalg.solve_triangular(Rmat, b, lower=False)
+
+
+def blocked_cholesky(S: jax.Array, block: int = 384) -> jax.Array:
+    """Right-looking blocked Cholesky: MXU matmuls instead of XLA's
+    sequential kernel at large N.
+
+    XLA's jnp.linalg.cholesky runs ~0.5% MFU at 2313^2 on a v5e (its
+    internal panel loop is latency-bound — the round-4 p257 ledger's ~8 ms
+    reduced solve); this version does per-panel work as ONE small XLA
+    cholesky (block^2) + ONE triangular inverse + MXU matmuls for the
+    column panel and trailing update, so the O(n^3) FLOPs all land on the
+    MXU. Padding blocks carry an identity diagonal (stays SPD, sliced off
+    at return). NaN propagates exactly like jnp.linalg.cholesky's on an
+    indefinite input — callers' breakdown detection keeps working.
+
+    Replaces the reduced-camera-system factorization
+    (schur._camera_solve_chol) at 9N >= ~1k — the SimplicialLDLT analog at
+    p257 scale (/root/reference/src/Eigen_ext/BacktrackLevMarqCholesky.h:272).
+    """
+    n = S.shape[0]
+    nb = -(-n // block)
+    npad = nb * block - n
+    dtype = S.dtype
+    Sp = jnp.pad(S, ((0, npad), (0, npad)))
+    if npad:
+        ar = jnp.arange(n, nb * block)
+        Sp = Sp.at[ar, ar].set(jnp.ones((), dtype))
+    nfull = nb * block
+    rows = jnp.arange(nfull)
+    eye_b = jnp.eye(block, dtype=dtype)
+
+    def body(i, carry):
+        L, A = carry
+        D = jax.lax.dynamic_slice(A, (i * block, i * block), (block, block))
+        Ld = jnp.linalg.cholesky(D)
+        Ldinv = jax.scipy.linalg.solve_triangular(Ld, eye_b, lower=True)
+        C = jax.lax.dynamic_slice(A, (0, i * block), (nfull, block))
+        below = (rows >= (i + 1) * block)[:, None].astype(dtype)
+        # HIGHEST precision: the default matmul precision runs f32 operands
+        # through bf16-class passes (measured 6e-4 relative factor error vs
+        # 1e-7 at full f32 — panel products feed later panels, so the loss
+        # compounds); HIGHEST keeps the O(n^3) on the MXU at f32 effective
+        # precision (3-pass bf16).
+        hi = jax.lax.Precision.HIGHEST
+        T = jnp.matmul(C, Ldinv.T, precision=hi) * below
+        panel = jax.lax.dynamic_update_slice(T, Ld, (i * block, 0))
+        L = jax.lax.dynamic_update_slice(L, panel, (0, i * block))
+        A = A - jnp.matmul(T, T.T, precision=hi)
+        return L, A
+
+    L, _ = jax.lax.fori_loop(
+        0, nb, body, (jnp.zeros((nfull, nfull), dtype), Sp)
+    )
+    return L[:n, :n]
+
+
+def blocked_tril_inv(L: jax.Array, block: int = 384) -> jax.Array:
+    """Inverse of a lower-triangular matrix by block forward substitution.
+
+    X_i: = L_ii^-1 (I_i: - sum_{k<i} L_ik X_k:) — each step is one small
+    (block^2) triangular solve + one (block, n) x (n, n) MXU matmul. Turns
+    every subsequent cho_solve into two plain matvecs (Linv^T (Linv b)):
+    at 2313^2 the iterative-refinement loop of schur._camera_solve_chol
+    otherwise pays 6 sequential XLA triangular solves per trial."""
+    n = L.shape[0]
+    nb = -(-n // block)
+    npad = nb * block - n
+    dtype = L.dtype
+    Lp = jnp.pad(L, ((0, npad), (0, npad)))
+    if npad:
+        ar = jnp.arange(n, nb * block)
+        Lp = Lp.at[ar, ar].set(jnp.ones((), dtype))
+    nfull = nb * block
+    eye_full = jnp.eye(nfull, dtype=dtype)
+
+    def body(i, X):
+        Lrow = jax.lax.dynamic_slice(Lp, (i * block, 0), (block, nfull))
+        Lii = jax.lax.dynamic_slice(
+            Lp, (i * block, i * block), (block, block)
+        )
+        acc = jnp.matmul(
+            Lrow, X, precision=jax.lax.Precision.HIGHEST
+        )  # rows >= i*block of X are still zero
+        rhs = jax.lax.dynamic_slice(
+            eye_full, (i * block, 0), (block, nfull)
+        ) - acc
+        Xi = jax.scipy.linalg.solve_triangular(Lii, rhs, lower=True)
+        return jax.lax.dynamic_update_slice(X, Xi, (i * block, 0))
+
+    X = jax.lax.fori_loop(
+        0, nb, body, jnp.zeros((nfull, nfull), dtype)
+    )
+    return X[:n, :n]

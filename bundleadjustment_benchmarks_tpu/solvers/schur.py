@@ -1351,7 +1351,16 @@ def _camera_solve_chol(S, b):
     # factor and routed to the backward-stable QR branch via lax.cond (the
     # fallback compiles always, runs only on breakdown).
     Ss32 = Ss64.astype(in_dtype)
-    L = jnp.linalg.cholesky(Ss32)
+    # Large systems (p126/p257 scale): XLA's cholesky + triangular_solve are
+    # latency-bound sequential kernels (~0.5% MFU at 2313^2, the r4 ledger's
+    # ~8 ms reduced solve); the blocked factorization + explicit triangular
+    # inverse put the O(n^3) on the MXU and turn every refinement solve into
+    # two matvecs (linalg.blocked_cholesky / blocked_tril_inv).
+    use_blocked = Ss32.shape[0] >= 1024
+    if use_blocked:
+        L = linalg.blocked_cholesky(Ss32)
+    else:
+        L = jnp.linalg.cholesky(Ss32)
     chol_ok = jnp.all(jnp.isfinite(L))
     bs = b64 * dinv
 
@@ -1362,6 +1371,16 @@ def _camera_solve_chol(S, b):
         return y
 
     def chol_branch(_):
+        if use_blocked:
+            Linv = linalg.blocked_tril_inv(L)
+            hi = jax.lax.Precision.HIGHEST
+
+            def solve32(r64):
+                r32 = r64.astype(in_dtype)
+                y = jnp.matmul(Linv, r32, precision=hi)
+                return jnp.matmul(Linv.T, y, precision=hi).astype(acc)
+
+            return refine(solve32)
         return refine(
             lambda r64: jax.scipy.linalg.cho_solve(
                 (L, True), r64.astype(in_dtype)
