@@ -291,93 +291,115 @@ def solve_upper_triangular(Rmat: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def blocked_cholesky(S: jax.Array, block: int = 384) -> jax.Array:
-    """Right-looking blocked Cholesky: MXU matmuls instead of XLA's
-    sequential kernel at large N.
+    """Left-looking blocked Cholesky, statically unrolled: MXU matmuls
+    instead of XLA's sequential kernel at large N.
 
     XLA's jnp.linalg.cholesky runs ~0.5% MFU at 2313^2 on a v5e (its
     internal panel loop is latency-bound — the round-4 p257 ledger's ~8 ms
-    reduced solve); this version does per-panel work as ONE small XLA
-    cholesky (block^2) + ONE triangular inverse + MXU matmuls for the
-    column panel and trailing update, so the O(n^3) FLOPs all land on the
-    MXU. Padding blocks carry an identity diagonal (stays SPD, sliced off
-    at return). NaN propagates exactly like jnp.linalg.cholesky's on an
-    indefinite input — callers' breakdown detection keeps working.
+    reduced solve). Design notes from the round-5 A/B measurements:
 
-    Replaces the reduced-camera-system factorization
-    (schur._camera_solve_chol) at 9N >= ~1k — the SimplicialLDLT analog at
-    p257 scale (/root/reference/src/Eigen_ext/BacktrackLevMarqCholesky.h:272).
+      * STATIC unroll over panels (python loop, nb <= ~8 at BA scales):
+        a fori_loop carry of the full matrix made XLA materialize stacked
+        (nb, n, n) update buffers (measured: the fori version was SLOWER
+        than XLA's cholesky by ~4 ms at 2313^2);
+      * LEFT-looking: each panel reads the already-computed panel columns,
+        no trailing-matrix carry at all;
+      * HIGHEST matmul precision: default-precision f32 matmuls run
+        bf16-class passes (measured 6e-4 relative factor error vs 1e-7).
+
+    NaN propagates exactly like jnp.linalg.cholesky's on an indefinite
+    input — callers' breakdown detection keeps working. Replaces the
+    reduced-camera-system factorization (schur._camera_solve_chol) at
+    9N >= ~1.5k — the SimplicialLDLT analog at p257 scale
+    (/root/reference/src/Eigen_ext/BacktrackLevMarqCholesky.h:272).
     """
     n = S.shape[0]
     nb = -(-n // block)
     npad = nb * block - n
     dtype = S.dtype
+    hi = jax.lax.Precision.HIGHEST
     Sp = jnp.pad(S, ((0, npad), (0, npad)))
     if npad:
         ar = jnp.arange(n, nb * block)
         Sp = Sp.at[ar, ar].set(jnp.ones((), dtype))
-    nfull = nb * block
-    rows = jnp.arange(nfull)
     eye_b = jnp.eye(block, dtype=dtype)
 
-    def body(i, carry):
-        L, A = carry
-        D = jax.lax.dynamic_slice(A, (i * block, i * block), (block, block))
-        Ld = jnp.linalg.cholesky(D)
+    cols = []  # full-height (nfull, block) computed panels
+    for i in range(nb):
+        lo, hi_r = i * block, (i + 1) * block
+        S_col = Sp[:, lo:hi_r]
+        if cols:
+            done = jnp.concatenate(cols, axis=1)  # (nfull, i*block)
+            rowL = done[lo:hi_r]  # (block, i*block)
+            C = S_col - jnp.matmul(done, rowL.T, precision=hi)
+        else:
+            C = S_col
+        Ld = jnp.linalg.cholesky(C[lo:hi_r])
         Ldinv = jax.scipy.linalg.solve_triangular(Ld, eye_b, lower=True)
-        C = jax.lax.dynamic_slice(A, (0, i * block), (nfull, block))
-        below = (rows >= (i + 1) * block)[:, None].astype(dtype)
-        # HIGHEST precision: the default matmul precision runs f32 operands
-        # through bf16-class passes (measured 6e-4 relative factor error vs
-        # 1e-7 at full f32 — panel products feed later panels, so the loss
-        # compounds); HIGHEST keeps the O(n^3) on the MXU at f32 effective
-        # precision (3-pass bf16).
-        hi = jax.lax.Precision.HIGHEST
-        T = jnp.matmul(C, Ldinv.T, precision=hi) * below
-        panel = jax.lax.dynamic_update_slice(T, Ld, (i * block, 0))
-        L = jax.lax.dynamic_update_slice(L, panel, (0, i * block))
-        A = A - jnp.matmul(T, T.T, precision=hi)
-        return L, A
-
-    L, _ = jax.lax.fori_loop(
-        0, nb, body, (jnp.zeros((nfull, nfull), dtype), Sp)
-    )
-    return L[:n, :n]
+        below = jnp.matmul(C[hi_r:], Ldinv.T, precision=hi)
+        panel = jnp.concatenate(
+            [jnp.zeros((lo, block), dtype), Ld, below], axis=0
+        )
+        cols.append(panel)
+    return jnp.concatenate(cols, axis=1)[:n, :n]
 
 
 def blocked_tril_inv(L: jax.Array, block: int = 384) -> jax.Array:
-    """Inverse of a lower-triangular matrix by block forward substitution.
+    """Inverse of a lower-triangular matrix by statically-unrolled block
+    forward substitution (same design rationale as blocked_cholesky).
 
     X_i: = L_ii^-1 (I_i: - sum_{k<i} L_ik X_k:) — each step is one small
-    (block^2) triangular solve + one (block, n) x (n, n) MXU matmul. Turns
-    every subsequent cho_solve into two plain matvecs (Linv^T (Linv b)):
-    at 2313^2 the iterative-refinement loop of schur._camera_solve_chol
-    otherwise pays 6 sequential XLA triangular solves per trial."""
+    (block^2) triangular solve + one MXU matmul. Turns every subsequent
+    cho_solve into two plain matvecs (Linv^T (Linv b)): at 2313^2 the
+    iterative-refinement loop of schur._camera_solve_chol otherwise pays
+    6 sequential XLA triangular solves per trial."""
     n = L.shape[0]
     nb = -(-n // block)
     npad = nb * block - n
     dtype = L.dtype
+    hi = jax.lax.Precision.HIGHEST
     Lp = jnp.pad(L, ((0, npad), (0, npad)))
     if npad:
         ar = jnp.arange(n, nb * block)
         Lp = Lp.at[ar, ar].set(jnp.ones((), dtype))
     nfull = nb * block
-    eye_full = jnp.eye(nfull, dtype=dtype)
 
-    def body(i, X):
-        Lrow = jax.lax.dynamic_slice(Lp, (i * block, 0), (block, nfull))
-        Lii = jax.lax.dynamic_slice(
-            Lp, (i * block, i * block), (block, block)
+    rows = []  # (block, nfull) computed block-rows of X
+    for i in range(nb):
+        lo, hi_r = i * block, (i + 1) * block
+        Lii = Lp[lo:hi_r, lo:hi_r]
+        eye_row = jnp.zeros((block, nfull), dtype).at[
+            :, lo:hi_r
+        ].set(jnp.eye(block, dtype=dtype))
+        if rows:
+            X_done = jnp.concatenate(rows, axis=0)  # (i*block, nfull)
+            Lrow = Lp[lo:hi_r, : i * block]
+            rhs = eye_row - jnp.matmul(Lrow, X_done, precision=hi)
+        else:
+            rhs = eye_row
+        rows.append(
+            jax.scipy.linalg.solve_triangular(Lii, rhs, lower=True)
         )
-        acc = jnp.matmul(
-            Lrow, X, precision=jax.lax.Precision.HIGHEST
-        )  # rows >= i*block of X are still zero
-        rhs = jax.lax.dynamic_slice(
-            eye_full, (i * block, 0), (block, nfull)
-        ) - acc
-        Xi = jax.scipy.linalg.solve_triangular(Lii, rhs, lower=True)
-        return jax.lax.dynamic_update_slice(X, Xi, (i * block, 0))
+    return jnp.concatenate(rows, axis=0)[:n, :n]
 
-    X = jax.lax.fori_loop(
-        0, nb, body, jnp.zeros((nfull, nfull), dtype)
-    )
-    return X[:n, :n]
+
+def compensated_matvec_f32(S32: jax.Array, y64: jax.Array) -> jax.Array:
+    """S @ y with ~2^-48 accuracy from pure-f32 VPU ops (no f64 HLOs).
+
+    The mixed-precision reduced solve refines with f64 residuals
+    r = b - S y; on TPU the f64 matvec is XLA-emulated (~2.4 ms per apply
+    at 2313^2, the dominant per-trial solve cost in the round-5 ledger).
+    This computes the same quantity from f32 pieces: y splits exactly into
+    two f32s; the y_hi products use Dekker TwoProd (exact pair), the y_lo
+    products are naturally tiny; one compensated tree-sum per row
+    accumulates everything — accuracy 2^-48 |S||y|, far below the f32
+    FORMATION error of S that the refinement exists to absorb. Returns
+    f64 (assembled from the hi/lo pair — elementwise, cheap)."""
+    from bundleadjustment_benchmarks_tpu.ops import twofloat as tf
+
+    y_hi = y64.astype(S32.dtype)
+    y_lo = (y64 - y_hi.astype(y64.dtype)).astype(S32.dtype)
+    p, e = tf.two_prod(S32, y_hi[None, :])
+    tail = S32 * y_lo[None, :]
+    row = tf.sum_df(tf.DF(p, e + tail), axis=1)
+    return row.hi.astype(y64.dtype) + row.lo.astype(y64.dtype)

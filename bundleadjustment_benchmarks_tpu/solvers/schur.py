@@ -430,7 +430,30 @@ def banded_planar_gram(P, banded, budget_bytes: int = 128 << 20):
     Each band gathers only its own width, so the padded-slot waste of the
     single (S, Lmax) table (2-5x on BAL degree distributions) disappears.
     Returns (S, C, C) in NATURAL segment order.
+
+    Large-K realization (round-5 p257 ledger): gathering the (R, C, slots)
+    operand stacks and feeding the per-segment gram einsum made XLA pick a
+    (slots, R, C) layout with the C=10 components on the LANE axis — ~13x
+    tile padding, ~10 ms of the 17.6 ms prepare. Instead compute the
+    C(C+1)/2 symmetric products ONCE in planar (55, K) form (no gather,
+    full-tile lanes) and reduce them with the planar TABLE SUM — the same
+    well-tiled lane-gather the pair stacks use. Products in the f32 VPU
+    pass the bf16 MXU gram would have produced anyway.
     """
+    r, c, k = P.shape
+    if k >= 100_000:
+        import numpy as np
+
+        iu, ju = np.triu_indices(c)
+        acc = jnp.float32 if P.dtype == jnp.bfloat16 else jnp.dtype(P.dtype)
+        Pa = P.astype(acc)
+        prod = (Pa[:, iu, :] * Pa[:, ju, :]).sum(0)  # (C*(C+1)/2, K)
+        sums = banded_planar_sum(prod, banded, budget_bytes)  # (55, S)
+        s = sums.shape[1]
+        out = jnp.zeros((s, c, c), acc)
+        out = out.at[:, iu, ju].set(sums.T)
+        out = out.at[:, ju, iu].set(sums.T)
+        return out
     outs = [planar_segment_gram(P, t, budget_bytes) for t in banded.tables]
     return jnp.concatenate(outs, axis=0)[banded.unperm]
 
@@ -636,16 +659,28 @@ def _pair_gram_tables(ctx, w_ext, py_ext, pairs, n: int, acc):
     w = lam/(fill_evals+lam)); sentinel slots gather weight 0 so padding
     contributes nothing."""
     group_sum = _group_sum
-    # Strictly-upper pairs: FLAT planar products in the accumulation dtype
-    # (f32 VPU multiplies of the bf16-stored operands — same or better
-    # precision than the bf16 MXU pass the einsum would run), then one
-    # contiguous L-group lane reduction. No badly-tiled intermediates.
+    # Strictly-upper pairs. Two realizations of the same contraction,
+    # chosen by slot count (round-5 p257 probes):
+    #   * FLAT planar products + contiguous L-group lane reduction — wins
+    #     at p21 scale (no badly-tiled intermediates, measured r2);
+    #   * one fused einsum over the (9, 3, R, L) view — wins at p257 scale
+    #     (5.7 ms -> 1.5 ms: the flat form materializes the (81, R*L)
+    #     product tensor, ~200 MB at 617k slots, while XLA fuses the
+    #     einsum's contraction into a single pass).
     r, l_row = ctx.row_pt.shape
+    big = r * l_row >= 300_000
     wflat = w_ext[:, ctx.row_pt.reshape(-1)].astype(acc)  # (3, R*L)
-    A9 = ctx.pairA.astype(acc).reshape(9, 3, r * l_row)
-    B9 = ctx.pairB.astype(acc).reshape(9, 3, r * l_row)
-    P = ((A9 * wflat[None])[:, None] * B9[None, :]).sum(2)  # (9, 9, R*L)
-    O = group_sum(P.reshape(81, r * l_row), l_row)  # (81, R)
+    if big:
+        A4 = ctx.pairA.astype(acc).reshape(9, 3, r, l_row)
+        B4 = ctx.pairB.astype(acc).reshape(9, 3, r, l_row)
+        O = jnp.einsum(
+            "icrl,crl,jcrl->ijr", A4, wflat.reshape(3, r, l_row), B4
+        ).reshape(81, r)
+    else:
+        A9 = ctx.pairA.astype(acc).reshape(9, 3, r * l_row)
+        B9 = ctx.pairB.astype(acc).reshape(9, 3, r * l_row)
+        P = ((A9 * wflat[None])[:, None] * B9[None, :]).sum(2)  # (9,9,R*L)
+        O = group_sum(P.reshape(81, r * l_row), l_row)  # (81, R)
 
     # Diagonal blocks + rhs (per degree band when cam_banded was present).
     diag_bands = ctx.diagG if isinstance(ctx.diagG, tuple) else (ctx.diagG,)
@@ -655,9 +690,16 @@ def _pair_gram_tables(ctx, w_ext, py_ext, pairs, n: int, acc):
         nb, lb = cp.shape
         wd = w_ext[:, cp.reshape(-1)].astype(acc)  # (3, Nb*Lb)
         pyg = py_ext[:, cp.reshape(-1)].astype(acc)
-        G9 = G.astype(acc).reshape(9, 3, nb * lb)
-        Pd = ((G9 * wd[None])[:, None] * G9[None, :]).sum(2)  # (9, 9, Nb*Lb)
-        md = group_sum(Pd.reshape(81, nb * lb), lb)  # (81, Nb)
+        if big:
+            G4 = G.astype(acc).reshape(9, 3, nb, lb)
+            md = jnp.einsum(
+                "icnl,cnl,jcnl->ijn", G4, wd.reshape(3, nb, lb), G4
+            ).reshape(81, nb)
+            G9 = G4.reshape(9, 3, nb * lb)
+        else:
+            G9 = G.astype(acc).reshape(9, 3, nb * lb)
+            Pd = ((G9 * wd[None])[:, None] * G9[None, :]).sum(2)
+            md = group_sum(Pd.reshape(81, nb * lb), lb)  # (81, Nb)
         md_parts.append(jnp.moveaxis(md.reshape(9, 9, nb), 2, 0))
         bq = (G9 * pyg[None]).sum(1)  # (9, Nb*Lb)
         b_parts.append(group_sum(bq, lb).T)  # (Nb, 9)
@@ -1351,12 +1393,13 @@ def _camera_solve_chol(S, b):
     # factor and routed to the backward-stable QR branch via lax.cond (the
     # fallback compiles always, runs only on breakdown).
     Ss32 = Ss64.astype(in_dtype)
-    # Large systems (p126/p257 scale): XLA's cholesky + triangular_solve are
-    # latency-bound sequential kernels (~0.5% MFU at 2313^2, the r4 ledger's
-    # ~8 ms reduced solve); the blocked factorization + explicit triangular
-    # inverse put the O(n^3) on the MXU and turn every refinement solve into
-    # two matvecs (linalg.blocked_cholesky / blocked_tril_inv).
-    use_blocked = Ss32.shape[0] >= 1024
+    # Blocked MXU factorization (linalg.blocked_cholesky/_tril_inv):
+    # measured round-5 A/B at 2313^2 on the v5e — XLA's cholesky clocked
+    # 2.9 ms in-scan vs 4.0 ms blocked (and the r4 "~8 ms reduced solve"
+    # turned out to be refinement f64-matvec + cond cost, not the
+    # factorization), so the blocked path is OPT-IN (BA_BLOCKED_CHOL=1,
+    # kept for larger-N futures where XLA's sequential panels lose).
+    use_blocked = Ss32.shape[0] >= 1024 and _env_flag("BA_BLOCKED_CHOL")
     if use_blocked:
         L = linalg.blocked_cholesky(Ss32)
     else:
@@ -1365,27 +1408,35 @@ def _camera_solve_chol(S, b):
     bs = b64 * dinv
 
     def refine(solve32):
-        y = solve32(bs)
+        # Iterative refinement with ~f64-accurate residuals of the ORIGINAL
+        # (unscaled) system — S's f32 entries are exact, so the compensated
+        # pure-f32 matvec (linalg.compensated_matvec_f32, ~2^-48) replaces
+        # the emulated-f64 matvec that dominated the per-trial solve cost
+        # at p257 (~2.4 ms per apply, round-5 ledger). The preconditioner
+        # application stays in the Jacobi-scaled space.
+        x = solve32(bs) * dinv
         for _ in range(2):
-            y = y + solve32(bs - Ss64 @ y)
-        return y
+            r = b64 - linalg.compensated_matvec_f32(S, x)
+            x = x + solve32(r * dinv) * dinv
+        return x
 
-    def chol_branch(_):
-        if use_blocked:
-            Linv = linalg.blocked_tril_inv(L)
-            hi = jax.lax.Precision.HIGHEST
+    if use_blocked:
+        Linv = linalg.blocked_tril_inv(L)
+        hi = jax.lax.Precision.HIGHEST
 
-            def solve32(r64):
-                r32 = r64.astype(in_dtype)
-                y = jnp.matmul(Linv, r32, precision=hi)
-                return jnp.matmul(Linv.T, y, precision=hi).astype(acc)
+        def chol_solve32(r64):
+            r32 = r64.astype(in_dtype)
+            y = jnp.matmul(Linv, r32, precision=hi)
+            return jnp.matmul(Linv.T, y, precision=hi).astype(acc)
 
-            return refine(solve32)
-        return refine(
-            lambda r64: jax.scipy.linalg.cho_solve(
+    else:
+        def chol_solve32(r64):
+            return jax.scipy.linalg.cho_solve(
                 (L, True), r64.astype(in_dtype)
             ).astype(acc)
-        )
+
+    def chol_branch(_):
+        return refine(chol_solve32)
 
     def qr_branch(_):
         Q, R = jnp.linalg.qr(Ss32)
@@ -1395,8 +1446,13 @@ def _camera_solve_chol(S, b):
             ).astype(acc)
         )
 
+    # Branch-style cond (refine inside the taken branch): measured
+    # ~2.8 ms/trial cheaper at p257 than precomputing the chol result and
+    # select-ing it (which cost ~10 ms — XLA materializes the untaken
+    # branch operands), and the only robust structure cheaper still is
+    # dropping the QR fallback entirely (round-5 A/B).
     y = jax.lax.cond(chol_ok, chol_branch, qr_branch, None)
-    return (y * dinv).astype(in_dtype)
+    return y.astype(in_dtype)
 
 
 def solve_damped(
