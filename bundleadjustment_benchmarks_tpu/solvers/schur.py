@@ -431,17 +431,19 @@ def banded_planar_gram(P, banded, budget_bytes: int = 128 << 20):
     single (S, Lmax) table (2-5x on BAL degree distributions) disappears.
     Returns (S, C, C) in NATURAL segment order.
 
-    Large-K realization (round-5 p257 ledger): gathering the (R, C, slots)
-    operand stacks and feeding the per-segment gram einsum made XLA pick a
-    (slots, R, C) layout with the C=10 components on the LANE axis — ~13x
-    tile padding, ~10 ms of the 17.6 ms prepare. Instead compute the
-    C(C+1)/2 symmetric products ONCE in planar (55, K) form (no gather,
-    full-tile lanes) and reduce them with the planar TABLE SUM — the same
+    Planar-product realization (round-5 ledger, default at every scale —
+    BA_GRAM_PROD_K raises the threshold for A/B probes): gathering the
+    (R, C, slots) operand stacks and feeding the per-segment gram einsum
+    made XLA pick a (slots, R, C) layout with the C=10 components on the
+    LANE axis — ~13x tile padding, ~10 ms of the 17.6 ms p257 prepare
+    (and 0.4 ms of the 1.7 ms p21 prepare). Instead compute the C(C+1)/2
+    symmetric products ONCE in planar (55, K) form (no gather, full-tile
+    lanes) and reduce them with the planar TABLE SUM — the same
     well-tiled lane-gather the pair stacks use. Products in the f32 VPU
     pass the bf16 MXU gram would have produced anyway.
     """
     r, c, k = P.shape
-    if k >= 100_000:
+    if k >= int(os.environ.get('BA_GRAM_PROD_K','0')):
         import numpy as np
 
         iu, ju = np.triu_indices(c)
@@ -476,22 +478,23 @@ def point_coupling_sum(W, dxc, cam_idx, problem):
     return banded_planar_sum(Wdx.T, banded).T
 
 
-def _stack_dtype(mm, stack_f32: bool = False):
+def _stack_dtype(mm, stack_f32: bool = False, k_obs=None):
     """Storage dtype for the cached pair-gram stacks.
 
-    On TPU an f32 dot_general under DEFAULT precision runs as a single bf16
-    MXU pass anyway (the profile shows explicit f32->bf16 conversion fusions
-    feeding every gram contraction), so storing the lambda-independent
-    stacks in bf16 loses NO precision over what the MXU already computes —
-    while halving the dominant per-iteration copy/gather bytes (measured
-    ~1.2 ms/LM-iteration of pure data movement on problem-21).
-
-    ``stack_f32=True`` (LMConfig.stack_f32) keeps the stacks in the matmul
-    dtype instead — the precision-experiment control arm.
+    Round-5 re-measurement: the fused pair einsum runs f32 VPU products
+    (not the bf16 MXU pass the original bf16-storage rationale assumed),
+    so the stack dtype is now a pure size/bandwidth trade measured at the
+    bench scales — f32 stacks win at p21 scale (226.9 vs 211 it/s: fewer
+    conversion fusions and faster while-boundary copies), bf16 wins at
+    p257 scale (17.5 vs 15.5 it/s: the 27x617k stacks' gather/copy bytes
+    dominate). Switch on the observation count; ``stack_f32=True``
+    (LMConfig.stack_f32) forces the matmul dtype at any size.
     """
     if stack_f32:
         return jnp.dtype(mm)
     if jnp.dtype(mm) == jnp.float32 and jax.default_backend() == "tpu":
+        if k_obs is not None and k_obs < 100_000:
+            return jnp.dtype(mm)
         return jnp.bfloat16
     return jnp.dtype(mm)
 
@@ -659,16 +662,15 @@ def _pair_gram_tables(ctx, w_ext, py_ext, pairs, n: int, acc):
     w = lam/(fill_evals+lam)); sentinel slots gather weight 0 so padding
     contributes nothing."""
     group_sum = _group_sum
-    # Strictly-upper pairs. Two realizations of the same contraction,
-    # chosen by slot count (round-5 p257 probes):
-    #   * FLAT planar products + contiguous L-group lane reduction — wins
-    #     at p21 scale (no badly-tiled intermediates, measured r2);
-    #   * one fused einsum over the (9, 3, R, L) view — wins at p257 scale
-    #     (5.7 ms -> 1.5 ms: the flat form materializes the (81, R*L)
-    #     product tensor, ~200 MB at 617k slots, while XLA fuses the
-    #     einsum's contraction into a single pass).
+    # Strictly-upper pairs. Two realizations of the same contraction;
+    # the fused einsum over the (9, 3, R, L) view is the measured default
+    # at EVERY scale (round 5: p257 5.7 -> 1.5 ms — the flat form
+    # materializes the (81, R*L) product tensor, ~200 MB at 617k slots;
+    # p21 trial 1.45 -> 0.93 ms — the r2 measurement that favored the
+    # flat form predates the planar-product gram and no longer holds).
+    # BA_PAIR_EINSUM_RL raises the switch-over threshold for A/B probes.
     r, l_row = ctx.row_pt.shape
-    big = r * l_row >= 300_000
+    big = r * l_row >= int(os.environ.get('BA_PAIR_EINSUM_RL','0'))
     wflat = w_ext[:, ctx.row_pt.reshape(-1)].astype(acc)  # (3, R*L)
     if big:
         A4 = ctx.pairA.astype(acc).reshape(9, 3, r, l_row)
@@ -1208,7 +1210,7 @@ def build_context(
         # tables ONCE per outer iteration (these gathers dominated the
         # per-trial gram); trials only gather the 3 weight rows. Stored in
         # bf16 on TPU (see _stack_dtype — the MXU consumes bf16 regardless).
-        sd = _stack_dtype(mm, stack_f32)
+        sd = _stack_dtype(mm, stack_f32, k_obs)
         W27 = W.reshape(k_obs, 27).T  # comp 3i+j = W[k][i][j]
         Qg = evecs.reshape(m, 9).T[:, pt_idx]  # (9, K): comp 3j+c
         # WQ27[3i+c] = sum_j W27[3i+j] * Qg[3j+c], as ONE batched planar
@@ -1228,6 +1230,9 @@ def build_context(
         pairA, pairB, diagG, row_pt, cam_pt, cam_unperm = _gather_pair_stacks(
             WQ_ext, problem, pairs, cam_banded
         )
+        if _env_flag("BA_PIN_STACKS"):
+            pairA = jax.lax.optimization_barrier(pairA)
+            pairB = jax.lax.optimization_barrier(pairB)
     elif point_factor == "eig":
         # Fallback eig coupling for problems without PairTables (e.g. the
         # sharded local views): blocky WQ feeds the chunked weighted gram.
