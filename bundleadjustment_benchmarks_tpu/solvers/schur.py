@@ -649,6 +649,13 @@ def _group_sum(P, width):
     )
 
 
+def _pair_einsum_precision():
+    """Matmul precision of the fused pair-gram einsum (A/B knob)."""
+    v = os.environ.get("BA_PAIR_EINSUM_PREC", "default").lower()
+    return {"default": None, "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}[v]
+
+
 def _pair_gram_tables(ctx, w_ext, py_ext, pairs, n: int, acc):
     """Weighted pair-gram core over the context's CACHED gathered stacks.
 
@@ -676,7 +683,8 @@ def _pair_gram_tables(ctx, w_ext, py_ext, pairs, n: int, acc):
         A4 = ctx.pairA.astype(acc).reshape(9, 3, r, l_row)
         B4 = ctx.pairB.astype(acc).reshape(9, 3, r, l_row)
         O = jnp.einsum(
-            "icrl,crl,jcrl->ijr", A4, wflat.reshape(3, r, l_row), B4
+            "icrl,crl,jcrl->ijr", A4, wflat.reshape(3, r, l_row), B4,
+            precision=_pair_einsum_precision(),
         ).reshape(81, r)
     else:
         A9 = ctx.pairA.astype(acc).reshape(9, 3, r * l_row)
@@ -695,7 +703,8 @@ def _pair_gram_tables(ctx, w_ext, py_ext, pairs, n: int, acc):
         if big:
             G4 = G.astype(acc).reshape(9, 3, nb, lb)
             md = jnp.einsum(
-                "icnl,cnl,jcnl->ijn", G4, wd.reshape(3, nb, lb), G4
+                "icnl,cnl,jcnl->ijn", G4, wd.reshape(3, nb, lb), G4,
+                precision=_pair_einsum_precision(),
             ).reshape(81, nb)
             G9 = G4.reshape(9, 3, nb * lb)
         else:
