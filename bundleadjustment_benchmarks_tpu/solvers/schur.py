@@ -1453,6 +1453,25 @@ def _camera_solve_chol(S, b):
         return refine(chol_solve32)
 
     def qr_branch(_):
+        if _env_flag("BA_CHEAP_FALLBACK"):
+            # Measured A/B (round 5): a diagonally-bumped Cholesky retry
+            # instead of QR cut the ISOLATED p257 solve chain 21.0 ->
+            # 17.6 ms (the QR branch's operand materialization inside
+            # lax.cond), yet REGRESSED the full LM loop to ~178 it/s at
+            # p21 / 14.7 at p257 vs ~227 / 17.6 with the QR branch — XLA
+            # specializes the while-loop cond differently in context.
+            # Kept as a probe; QR (backward-stable on any invertible S)
+            # stays the default.
+            Lb = jnp.linalg.cholesky(
+                Ss32 + jnp.asarray(1e-4, in_dtype) * jnp.eye(
+                    Ss32.shape[0], dtype=in_dtype
+                )
+            )
+            return refine(
+                lambda r64: jax.scipy.linalg.cho_solve(
+                    (Lb, True), r64.astype(in_dtype)
+                ).astype(acc)
+            )
         Q, R = jnp.linalg.qr(Ss32)
         return refine(
             lambda r64: jax.scipy.linalg.solve_triangular(
